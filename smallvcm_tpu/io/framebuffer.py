@@ -1,0 +1,146 @@
+"""Accumulation framebuffer + PPM/PFM/BMP/HDR writers.
+
+Device side, the framebuffer is just a ``[resY, resX, 3]`` f32 array;
+accumulation is a differentiable scatter-add (``.at[y, x].add`` with
+``mode='drop'``, which reproduces the reference's silent bounds check,
+framebuffer.hxx:43-57). The file writers replicate the reference's byte
+formats exactly (framebuffer.hxx:106-251): PPM, binary PFM, bottom-up 24bpp
+BMP with gamma, and Radiance RGBE HDR.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def new_framebuffer(res_x: int, res_y: int) -> jnp.ndarray:
+    return jnp.zeros((res_y, res_x, 3), jnp.float32)
+
+
+def add_color(fb: jnp.ndarray, sample_xy: jnp.ndarray, color: jnp.ndarray):
+    """Batched AddColor: floor the raster position, drop out-of-bounds.
+
+    sample_xy [N,2] float raster coords, color [N,3].
+    Negative coords must drop (not round toward zero onto pixel 0), so we
+    pre-mask them before the int cast.
+    """
+    x = jnp.floor(sample_xy[..., 0]).astype(jnp.int32)
+    y = jnp.floor(sample_xy[..., 1]).astype(jnp.int32)
+    oob = (sample_xy[..., 0] < 0) | (sample_xy[..., 1] < 0)
+    x = jnp.where(oob, jnp.int32(-1), x)
+    y = jnp.where(oob, jnp.int32(-1), y)
+    return fb.at[y, x].add(color, mode="drop")
+
+
+def total_luminance(fb: jnp.ndarray) -> jnp.ndarray:
+    """framebuffer.hxx:89-102."""
+    from ..core.vecmath import luminance
+
+    return jnp.sum(luminance(fb))
+
+
+def _np(fb) -> np.ndarray:
+    return np.asarray(fb, np.float32)
+
+
+def save_ppm(fb, filename: str, gamma: float = 1.0) -> None:
+    img = _np(fb)
+    res_y, res_x, _ = img.shape
+    inv_g = 1.0 / gamma
+    quant = np.clip((img ** inv_g * 255.0).astype(np.int32), 0, 255)
+    with open(filename, "w") as f:
+        f.write(f"P3\n{res_x} {res_y}\n255\n")
+        for y in range(res_y):
+            row = " ".join(
+                f"{quant[y, x, 0]} {quant[y, x, 1]} {quant[y, x, 2]}"
+                for x in range(res_x)
+            )
+            f.write(row + " \n")
+
+
+def save_pfm(fb, filename: str) -> None:
+    img = _np(fb)
+    res_y, res_x, _ = img.shape
+    with open(filename, "wb") as f:
+        f.write(f"PF\n{res_x} {res_y}\n-1\n".encode())
+        f.write(img.tobytes())
+
+
+def save_bmp(fb, filename: str, gamma: float = 1.0) -> None:
+    """24bpp bottom-up BMP, byte-identical layout to framebuffer.hxx:170-215."""
+    img = _np(fb)
+    res_y, res_x, _ = img.shape
+    inv_g = 1.0 / gamma
+    header = struct.pack(
+        "<IIIIii hh IIIIII".replace(" ", ""),
+        54 + res_x * res_y * 3,  # file size
+        0,                       # reserved
+        54,                      # data offset
+        40,                      # header size
+        res_x,
+        res_y,
+        1,                       # color planes
+        24,                      # bpp
+        0,                       # compression
+        res_x * res_y * 3,       # image size
+        2953, 2953, 0, 0,
+    )
+    # bottom-up rows, BGR order
+    g = np.power(np.maximum(img, 0.0), inv_g) * 255.0
+    bgr = np.clip(g[::-1, :, ::-1], 0.0, 255.0).astype(np.uint8)
+    with open(filename, "wb") as f:
+        f.write(b"BM")
+        f.write(header)
+        f.write(bgr.tobytes())
+
+
+def save_hdr(fb, filename: str) -> None:
+    """Radiance RGBE (framebuffer.hxx:219-251, non-RLE scanlines)."""
+    img = _np(fb)
+    res_y, res_x, _ = img.shape
+    v = img.max(axis=2)
+    mant, exp = np.frexp(v)
+    scale = np.where(v >= 1e-32, mant * 256.0 / np.where(v == 0, 1.0, v), 0.0)
+    rgbe = np.zeros((res_y, res_x, 4), np.uint8)
+    rgbe[..., 0] = (img[..., 0] * scale).astype(np.uint8)
+    rgbe[..., 1] = (img[..., 1] * scale).astype(np.uint8)
+    rgbe[..., 2] = (img[..., 2] * scale).astype(np.uint8)
+    rgbe[..., 3] = np.where(v >= 1e-32, exp + 128, 0).astype(np.uint8)
+    with open(filename, "wb") as f:
+        f.write(b"#?RADIANCE\n# SmallVCM\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {res_y} +X {res_x}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def save_image(fb, filename: str) -> None:
+    """Dispatch by extension like smallvcm.cxx:313-320 (gamma 2.2 for bmp)."""
+    if filename.endswith(".bmp"):
+        save_bmp(fb, filename, gamma=2.2)
+    elif filename.endswith(".hdr"):
+        save_hdr(fb, filename)
+    elif filename.endswith(".pfm"):
+        save_pfm(fb, filename)
+    elif filename.endswith(".ppm"):
+        save_ppm(fb, filename, gamma=2.2)
+    else:
+        save_bmp(fb, filename + ".bmp", gamma=2.2)
+
+
+def load_bmp(filename: str) -> np.ndarray:
+    """Read a 24bpp BMP written by either renderer -> float [resY,resX,3] in [0,1]."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    assert data[:2] == b"BM"
+    data_offset = struct.unpack_from("<I", data, 10)[0]
+    width = struct.unpack_from("<i", data, 18)[0]
+    height = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    assert bpp == 24
+    row_bytes = width * 3  # SmallVCM writes unpadded rows (width multiple of 4)
+    arr = np.frombuffer(
+        data, np.uint8, count=height * row_bytes, offset=data_offset
+    ).reshape(height, width, 3)
+    return arr[::-1, :, ::-1].astype(np.float32) / 255.0
