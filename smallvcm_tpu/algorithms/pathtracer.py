@@ -1,0 +1,226 @@
+"""Wavefront unidirectional path tracer with NEE and 2-pdf balance MIS.
+
+Re-architecture of the reference's per-pixel recursive loop
+(pathtracer.hxx:45-215) as fixed-depth masked iteration: the whole image's
+paths advance one bounce per ``lax.fori_loop`` step; early ``break``s become
+``alive``-mask updates and contributions are accumulated where-masked.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.vecmath import EPS_RAY, dot, pdf_a_to_w
+from ..ops import bsdf as bsdf_ops
+from ..ops import lights as light_ops
+from ..ops.intersect import intersect, occluded
+from ..scene.camera import generate_ray
+from ..scene.scene import SceneData
+from ..io.framebuffer import add_color
+
+
+def _safe_div(a, b):
+    return a / jnp.where(b == 0.0, 1.0, b)
+
+
+def _mis2(sample_pdf, other_pdf):
+    """Balance heuristic for 2 pdfs (pathtracer.hxx:226-231)."""
+    return _safe_div(sample_pdf, sample_pdf + other_pdf)
+
+
+class _PtState(NamedTuple):
+    org: jnp.ndarray          # [N,3]
+    direction: jnp.ndarray    # [N,3]
+    weight: jnp.ndarray       # [N,3] path throughput
+    color: jnp.ndarray        # [N,3] accumulated radiance
+    last_specular: jnp.ndarray  # [N] bool
+    last_pdf_w: jnp.ndarray     # [N]
+    alive: jnp.ndarray          # [N] bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("res_x", "res_y", "base_seed", "max_path_length",
+                     "min_path_length"),
+)
+def render_iteration(
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+) -> jnp.ndarray:
+    n = res_x * res_y
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    x = (pix % res_x).astype(jnp.float32)
+    y = (pix // res_x).astype(jnp.float32)
+
+    light_count = scene.lights.kind.shape[0]
+    light_pick_prob = 1.0 / light_count
+    has_background = scene.background_idx >= 0
+
+    jitter = rng.uniform_slots(
+        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
+    )
+    sample = jnp.stack([x, y], axis=-1) + jitter
+    org, direction = generate_ray(scene.camera, sample)
+
+    state = _PtState(
+        org=org,
+        direction=direction,
+        weight=jnp.ones((n, 3), jnp.float32),
+        color=jnp.zeros((n, 3), jnp.float32),
+        last_specular=jnp.ones((n,), bool),
+        last_pdf_w=jnp.ones((n,), jnp.float32),
+        alive=jnp.ones((n,), bool),
+    )
+
+    def bounce(i, state: _PtState):
+        path_length = i + 1  # reference pathLength counter
+        hit = intersect(scene, state.org, state.direction)
+        hit_point = state.org + state.direction * hit.dist[:, None]
+        isect_dist = hit.dist + EPS_RAY
+
+        color = state.color
+
+        # --- Miss: background radiance (pathtracer.hxx:73-97).
+        if has_background:
+            bg = light_ops.get_radiance(
+                scene.lights,
+                jnp.full((n,), scene.background_idx, jnp.int32),
+                scene.scene_sphere,
+                state.direction,
+            )
+            # For the background GetRadiance "cheats": directPdfA is W.
+            mis = jnp.where(
+                (path_length > 1) & ~state.last_specular,
+                _mis2(state.last_pdf_w, bg.direct_pdf_a * light_pick_prob),
+                1.0,
+            )
+            take_bg = (
+                state.alive
+                & ~hit.hit
+                & (path_length >= min_path_length)
+                & (jnp.max(bg.radiance, axis=-1) > 0.0)
+            )
+            color = color + jnp.where(
+                take_bg[:, None], state.weight * mis[:, None] * bg.radiance, 0.0
+            )
+
+        alive = state.alive & hit.hit
+
+        b = bsdf_ops.setup(
+            scene.materials, state.direction, hit.normal, hit.mat_id, hit.hit
+        )
+        alive = alive & b.valid
+
+        # --- Direct light hit (pathtracer.hxx:107-129).
+        hit_light = alive & (hit.light_id >= 0)
+        lr = light_ops.get_radiance(
+            scene.lights, hit.light_id, scene.scene_sphere, state.direction
+        )
+        direct_pdf_w = pdf_a_to_w(
+            lr.direct_pdf_a, isect_dist, b.cos_theta_fix()
+        )
+        mis_l = jnp.where(
+            (path_length > 1) & ~state.last_specular,
+            _mis2(state.last_pdf_w, direct_pdf_w * light_pick_prob),
+            1.0,
+        )
+        take_l = (
+            hit_light
+            & (path_length >= min_path_length)
+            & (jnp.max(lr.radiance, axis=-1) > 0.0)
+        )
+        color = color + jnp.where(
+            take_l[:, None], state.weight * mis_l[:, None] * lr.radiance, 0.0
+        )
+        alive = alive & ~hit_light  # lights do not reflect
+
+        alive = alive & (path_length < max_path_length) & (b.cont_prob > 0.0)
+
+        # --- Next event estimation (pathtracer.hxx:138-173).
+        u = rng.uniform_slots(
+            base_seed,
+            rng.make_stream(iteration, rng.STAGE_CAMERA_NEE, i),
+            pix,
+            3,
+        )
+        light_id = jnp.minimum(
+            (u[:, 0] * light_count).astype(jnp.int32), light_count - 1
+        )
+        ill = light_ops.illuminate(
+            scene.lights, light_id, scene.scene_sphere, hit_point, u[:, 1:3]
+        )
+        factor, cos_out, bsdf_pdf_w, _ = bsdf_ops.evaluate(
+            scene.materials, b, ill.dir_to_light
+        )
+        light_is_delta = scene.lights.is_delta[
+            jnp.clip(light_id, 0, light_count - 1)
+        ]
+        nee_weight = jnp.where(
+            light_is_delta,
+            1.0,
+            _mis2(ill.direct_pdf_w * light_pick_prob, bsdf_pdf_w * b.cont_prob),
+        )
+        contrib = (
+            nee_weight * cos_out / (light_pick_prob * jnp.where(
+                ill.direct_pdf_w == 0.0, 1.0, ill.direct_pdf_w))
+        )[:, None] * (ill.radiance * factor)
+        nee_ok = (
+            alive
+            & ~b.is_delta
+            & (path_length + 1 >= min_path_length)
+            & (jnp.max(ill.radiance, axis=-1) > 0.0)
+            & (jnp.max(factor, axis=-1) > 0.0)
+            & (jnp.max(contrib, axis=-1) > 0.0)
+        )
+        shadowed = occluded(scene, hit_point, ill.dir_to_light, ill.distance)
+        color = color + jnp.where(
+            (nee_ok & ~shadowed)[:, None], state.weight * contrib, 0.0
+        )
+
+        # --- Continue random walk (pathtracer.hxx:176-209).
+        w = rng.uniform_slots(
+            base_seed,
+            rng.make_stream(iteration, rng.STAGE_CAMERA_WALK, i),
+            pix,
+            4,
+        )
+        s_factor, s_dir, s_pdf, s_cos, s_event, s_keep = bsdf_ops.sample(
+            scene.materials, b, w[:, 0:3], fix_is_light=False
+        )
+        alive = alive & s_keep
+
+        cont_prob = b.cont_prob
+        last_specular = (s_event & bsdf_ops.EV_SPECULAR) != 0
+        last_pdf_w = s_pdf * cont_prob
+
+        rr_kill = (cont_prob < 1.0) & (w[:, 3] > cont_prob)
+        alive = alive & ~rr_kill
+        s_pdf = jnp.where(cont_prob < 1.0, s_pdf * cont_prob, s_pdf)
+
+        new_weight = state.weight * s_factor * _safe_div(s_cos, s_pdf)[:, None]
+        new_org = hit_point + EPS_RAY * s_dir
+
+        return _PtState(
+            org=jnp.where(alive[:, None], new_org, state.org),
+            direction=jnp.where(alive[:, None], s_dir, state.direction),
+            weight=jnp.where(alive[:, None], new_weight, state.weight),
+            color=color,
+            last_specular=jnp.where(alive, last_specular, state.last_specular),
+            last_pdf_w=jnp.where(alive, last_pdf_w, state.last_pdf_w),
+            alive=alive,
+        )
+
+    state = jax.lax.fori_loop(0, max_path_length, bounce, state)
+
+    fb = jnp.zeros((res_y, res_x, 3), jnp.float32)
+    return add_color(fb, sample, state.color)

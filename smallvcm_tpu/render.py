@@ -1,0 +1,133 @@
+"""Renderer driver: algorithm registry, iteration loop, time budget.
+
+Replaces the reference's ``CreateRenderer`` factory (config.hxx:112-143) and
+``render()`` execution loop (smallvcm.cxx:52-151). The reference parallelizes
+by cloning one renderer per OpenMP thread and averaging their framebuffers;
+here one jitted wavefront iteration already saturates the chip, so the
+progressive loop just accumulates iterations (optionally sharded across a
+device mesh — see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .algorithms import eyelight, pathtracer, vcm
+from .scene.scene import SceneData
+
+ALGORITHMS = ("el", "pt", "lt", "ppm", "bpm", "bpt", "vcm")
+
+ALGORITHM_NAMES = {
+    "el": "eye light",
+    "pt": "path tracing",
+    "lt": "light tracing",
+    "ppm": "progressive photon mapping",
+    "bpm": "bidirectional photon mapping",
+    "bpt": "bidirectional path tracing",
+    "vcm": "vertex connection and merging",
+}
+
+# VertexCM family flags: (use_vc, use_vm, light_trace_only, ppm)
+# (vertexcm.hxx:222-244).
+_VCM_FLAGS = {
+    "lt": (False, False, True, False),
+    "ppm": (False, True, False, True),
+    "bpm": (False, True, False, False),
+    "bpt": (True, False, False, False),
+    "vcm": (True, True, False, False),
+}
+
+
+@dataclass
+class RenderConfig:
+    """Mirror of the reference Config (config.hxx:52-109) + TPU knobs."""
+
+    algorithm: str = "vcm"
+    iterations: int = 1
+    max_time: float = -1.0
+    radius_factor: float = 0.003
+    radius_alpha: float = 0.75
+    base_seed: int = 1234
+    max_path_length: int = 10
+    min_path_length: int = 0
+    resolution: tuple = (512, 512)
+    merge_k: int = 32
+    # multi-device execution (None => single device)
+    mesh: Optional[object] = None
+
+
+def ppm_downgrade_needed(scene: SceneData) -> bool:
+    """PPM cannot handle mixed specular+non-specular materials; the reference
+    self-downgrades to BPM after scanning the scene (vertexcm.hxx:246-278)."""
+    mats = scene.materials
+    diffuse = np.asarray(mats.diffuse)
+    phong = np.asarray(mats.phong)
+    mirror = np.asarray(mats.mirror)
+    ior = np.asarray(mats.ior)
+    has_non_specular = (diffuse.max(axis=-1) > 0) | (phong.max(axis=-1) > 0)
+    has_specular = (mirror.max(axis=-1) > 0) | (ior > 0)
+    return bool((has_non_specular & has_specular).any())
+
+
+def resolve_algorithm(scene: SceneData, algorithm: str) -> str:
+    if algorithm == "ppm" and ppm_downgrade_needed(scene):
+        return "bpm"
+    return algorithm
+
+
+def render_single_iteration(
+    scene: SceneData, cfg: RenderConfig, iteration: int
+) -> jnp.ndarray:
+    """Dispatch one iteration of the configured algorithm."""
+    res_x, res_y = cfg.resolution
+    alg = resolve_algorithm(scene, cfg.algorithm)
+    if alg == "el":
+        return eyelight.render_iteration(
+            scene, iteration, res_x, res_y, cfg.base_seed
+        )
+    if alg == "pt":
+        return pathtracer.render_iteration(
+            scene, iteration, res_x, res_y, cfg.base_seed,
+            cfg.max_path_length, cfg.min_path_length,
+        )
+    use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
+    return vcm.render_iteration(
+        scene, iteration, res_x, res_y, cfg.base_seed,
+        cfg.max_path_length, cfg.min_path_length,
+        cfg.radius_factor, cfg.radius_alpha,
+        use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
+        merge_k=cfg.merge_k,
+    )
+
+
+def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False):
+    """Progressive render. Returns (image [resY,resX,3], seconds, iterations).
+
+    Like smallvcm.cxx:52-151: -t (max_time) takes precedence over -i; the
+    returned image is the average over completed iterations.
+    """
+    res_x, res_y = cfg.resolution
+    accum = jnp.zeros((res_y, res_x, 3), jnp.float32)
+
+    start = time.time()
+    iters_done = 0
+    if cfg.max_time > 0:
+        while time.time() - start < cfg.max_time:
+            accum = accum + render_single_iteration(scene, cfg, iters_done)
+            accum.block_until_ready()
+            iters_done += 1
+    else:
+        for it in range(cfg.iterations):
+            accum = accum + render_single_iteration(scene, cfg, it)
+            iters_done += 1
+        accum.block_until_ready()
+    elapsed = time.time() - start
+
+    if iters_done > 0:
+        accum = accum / iters_done
+    return accum, elapsed, iters_done

@@ -89,7 +89,16 @@ class SceneSphere(NamedTuple):
     inv_radius_sqr: jnp.ndarray  # scalar
 
 
-class SceneData(NamedTuple):
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Scene pytree. ``background_idx`` is static metadata (not traced)."""
+
     # Triangles (two-sided; geometry.hxx:106-177).
     tri_p0: jnp.ndarray      # [T,3]
     tri_p1: jnp.ndarray      # [T,3]
@@ -105,7 +114,13 @@ class SceneData(NamedTuple):
     mat_to_light: jnp.ndarray  # [M] int32, -1 when not emissive
     scene_sphere: SceneSphere
     camera: CameraData
-    background_idx: int  # static: light index of BackgroundLight or -1
+    # static: light index of BackgroundLight or -1
+    background_idx: int = dataclasses.field(
+        metadata=dict(static=True), default=-1
+    )
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def _frame_from_z_np(z):
