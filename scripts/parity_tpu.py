@@ -1,0 +1,111 @@
+"""Full-parity sweep on the TPU: all 4 scenes x 7 algorithms vs reference.
+
+Renders every (scene, algorithm) combo at 512x512 with matched iteration
+counts, runs the reference binary for the same combos, and writes PARITY.md
+with block-averaged relative errors (32x32 blocks absorb per-pixel Monte
+Carlo noise; with N iterations the block mean noise is ~1/sqrt(1024*N) of
+signal).
+
+Usage: python scripts/parity_tpu.py [--iters 10] [--out PARITY.md]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+REF_BIN = Path("/tmp/refbin/smallvcm")
+REF_SRC = Path("/root/reference/src/smallvcm.cxx")
+WORK = Path("/tmp/parity")
+
+
+def ensure_reference():
+    if not REF_BIN.exists():
+        REF_BIN.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["g++", "-O3", "-std=c++11", "-fopenmp", "-o", str(REF_BIN),
+             str(REF_SRC)],
+            check=True,
+        )
+
+
+def block_mean(img, b=32):
+    h, w, _ = img.shape
+    return img.reshape(h // b, b, w // b, b, 3).mean(axis=(1, 3))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default="PARITY.md")
+    ap.add_argument("--scenes", type=int, nargs="*", default=[0, 1, 2, 3])
+    args = ap.parse_args()
+
+    ensure_reference()
+    WORK.mkdir(parents=True, exist_ok=True)
+
+    from smallvcm_tpu.io.framebuffer import load_hdr
+    from smallvcm_tpu.render import ALGORITHMS, RenderConfig, render
+    from smallvcm_tpu.scene.scene import SCENE_CONFIGS, get_scene_name, load_cornell_box
+
+    rows = []
+    for scene_id in args.scenes:
+        scene = load_cornell_box((512, 512), SCENE_CONFIGS[scene_id])
+        name, _ = get_scene_name(SCENE_CONFIGS[scene_id])
+        for alg in ALGORITHMS:
+            ref_file = WORK / f"ref_s{scene_id}_{alg}.hdr"
+            if not ref_file.exists():
+                subprocess.run(
+                    [str(REF_BIN), "-s", str(scene_id), "-a", alg,
+                     "-i", str(args.iters), "-o", ref_file.name],
+                    cwd=str(WORK), check=True, capture_output=True,
+                )
+            ref = load_hdr(str(ref_file))
+
+            cfg = RenderConfig(algorithm=alg, iterations=args.iters,
+                               resolution=(512, 512))
+            t0 = time.time()
+            img, elapsed, iters = render(scene, cfg)
+            mine = np.asarray(img)
+            wall = time.time() - t0
+
+            bm, br = block_mean(mine), block_mean(ref)
+            rel = np.abs(bm - br) / (br + 1e-3)
+            rows.append(dict(
+                scene=scene_id, scene_name=name, alg=alg,
+                mean_mine=float(mine.mean()), mean_ref=float(ref.mean()),
+                rel_median=float(np.median(rel)),
+                rel_p95=float(np.percentile(rel, 95)),
+                seconds=wall,
+            ))
+            print(f"s{scene_id} {alg}: med={rows[-1]['rel_median']:.4f} "
+                  f"p95={rows[-1]['rel_p95']:.4f} t={wall:.1f}s", flush=True)
+
+    with open(args.out, "w") as f:
+        f.write("# PARITY — TPU renderer vs reference binary\n\n")
+        f.write(f"512x512, {args.iters} iterations each, block-averaged "
+                "(32x32) relative error vs the reference's HDR output. "
+                "Both renderers use independent RNG streams, so agreement "
+                "is statistical: block-mean MC noise at this sample count "
+                "is a few percent.\n\n")
+        f.write("| scene | algorithm | mean (ours) | mean (ref) | "
+                "rel err median | rel err p95 | wall s (ours) |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(
+                f"| {r['scene']} ({r['scene_name']}) | {r['alg']} | "
+                f"{r['mean_mine']:.5f} | {r['mean_ref']:.5f} | "
+                f"{r['rel_median']:.4f} | {r['rel_p95']:.4f} | "
+                f"{r['seconds']:.1f} |\n"
+            )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

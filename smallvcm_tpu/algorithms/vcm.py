@@ -298,9 +298,10 @@ def trace_light_paths(
     )
 
     def bounce(i, carry):
-        state, verts, fb = carry
+        state, verts, fb, rays = carry
         path_length = i + 1
 
+        rays = rays + jnp.sum(state.alive.astype(jnp.int32))
         org = state.origin + state.direction * EPS_RAY
         hit = intersect(scene, org, state.direction)
         alive = state.alive & hit.hit
@@ -351,6 +352,7 @@ def trace_light_paths(
                 scene, misc, state, hit_point, b, enabled, light_trace_only
             )
             fb = add_color(fb, raster, contrib)
+            rays = rays + jnp.sum(enabled.astype(jnp.int32))  # shadow rays
 
         # Path-too-long termination (vertexcm.hxx:387).
         state = state._replace(
@@ -366,12 +368,12 @@ def trace_light_paths(
         state = sample_scattering(
             scene, misc, state, hit_point, b, u4, fix_is_light=True
         )
-        return state, verts, fb
+        return state, verts, fb, rays
 
-    state, verts, fb = jax.lax.fori_loop(
-        0, max_l, bounce, (state, verts, fb)
+    state, verts, fb, rays = jax.lax.fori_loop(
+        0, max_l, bounce, (state, verts, fb, jnp.zeros((), jnp.int32))
     )
-    return verts, fb
+    return verts, fb, rays
 
 
 # ---------------------------------------------------------------------------
@@ -555,48 +557,71 @@ def merge_vertices(
     (fv_pos, fv_thr, fv_wfix, fv_dvcm, fv_dvm, fv_cont, fv_len, fv_valid) = (
         flat_verts
     )
-    idx, mask = grid_ops.query_candidates(grid, num_cells, cam_hit_point, k)
-    nq, nc = idx.shape
+    idx_all, mask_all = grid_ops.query_candidates(
+        grid, num_cells, cam_hit_point, k
+    )
+    nq, nc = idx_all.shape
 
-    p = fv_pos[idx]          # [N, C, 3]
-    within = len_sqr(p - cam_hit_point[:, None, :]) <= misc.radius_sqr
-    mask = mask & within & fv_valid[idx]
+    # Process candidates in chunks along the candidate axis: the HBM cost of
+    # a full [N, 8k, ...] gather at 512x512 is tens of GB, while per-chunk
+    # temporaries stay ~100 MB and XLA pipelines the sequential chunks.
+    chunk = 16
+    n_chunks = (nc + chunk - 1) // chunk
+    pad = n_chunks * chunk - nc
+    if pad:
+        idx_all = jnp.pad(idx_all, ((0, 0), (0, pad)))
+        mask_all = jnp.pad(mask_all, ((0, 0), (0, pad)))
 
-    total_len = fv_len[idx] + cam_path_length
-    mask = mask & (total_len <= max_path_length) & (total_len >= min_path_length)
-
-    light_dir = fv_wfix[idx]  # [N, C, 3]
-
-    # Evaluate the camera BSDF for every candidate direction: broadcast the
-    # per-lane state over the candidate axis.
     cam_bc = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(
-            a[:, None] if a.ndim == 1 else a[:, None, :], (nq, nc) + a.shape[1:]
+            a[:, None] if a.ndim == 1 else a[:, None, :],
+            (nq, chunk) + a.shape[1:],
         ),
         cam_b,
     )
-    factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
-        scene.materials, cam_bc, light_dir
-    )
-    mask = mask & (jnp.max(factor, axis=-1) > 0.0)
 
-    dir_pdf_w = dir_pdf_w * cam_b.cont_prob[:, None]
-    rev_pdf_w = rev_pdf_w * fv_cont[idx]
+    def do_chunk(c, acc):
+        idx = jax.lax.dynamic_slice_in_dim(idx_all, c * chunk, chunk, axis=1)
+        mask = jax.lax.dynamic_slice_in_dim(mask_all, c * chunk, chunk, axis=1)
 
-    # [tech. rep. (38)-(39)]
-    w_light = fv_dvcm[idx] * misc.mis_vc_weight + fv_dvm[idx] * _mis(dir_pdf_w)
-    w_camera = (
-        cam_state.d_vcm[:, None] * misc.mis_vc_weight
-        + cam_state.d_vm[:, None] * _mis(rev_pdf_w)
-    )
-    if ppm:
-        mis_weight = jnp.ones_like(w_light)
-    else:
-        mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+        p = fv_pos[idx]          # [N, chunk, 3]
+        within = len_sqr(p - cam_hit_point[:, None, :]) <= misc.radius_sqr
+        mask = mask & within & fv_valid[idx]
 
-    contrib = mis_weight[..., None] * factor * fv_thr[idx]
-    contrib = jnp.where(mask[..., None], contrib, 0.0)
-    return jnp.sum(contrib, axis=1)
+        total_len = fv_len[idx] + cam_path_length
+        mask = (
+            mask & (total_len <= max_path_length)
+            & (total_len >= min_path_length)
+        )
+
+        light_dir = fv_wfix[idx]
+        factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
+            scene.materials, cam_bc, light_dir
+        )
+        mask = mask & (jnp.max(factor, axis=-1) > 0.0)
+
+        dir_pdf_w = dir_pdf_w * cam_b.cont_prob[:, None]
+        rev_pdf_w = rev_pdf_w * fv_cont[idx]
+
+        # [tech. rep. (38)-(39)]
+        w_light = (
+            fv_dvcm[idx] * misc.mis_vc_weight + fv_dvm[idx] * _mis(dir_pdf_w)
+        )
+        w_camera = (
+            cam_state.d_vcm[:, None] * misc.mis_vc_weight
+            + cam_state.d_vm[:, None] * _mis(rev_pdf_w)
+        )
+        if ppm:
+            mis_weight = jnp.ones_like(w_light)
+        else:
+            mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+
+        contrib = mis_weight[..., None] * factor * fv_thr[idx]
+        contrib = jnp.where(mask[..., None], contrib, 0.0)
+        return acc + jnp.sum(contrib, axis=1)
+
+    acc = jnp.zeros((nq, 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, do_chunk, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -604,18 +629,13 @@ def merge_vertices(
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
-        "use_vc", "use_vm", "light_trace_only", "ppm", "merge_k",
-    ),
-)
-def render_iteration(
+def render_iteration_core(
     scene: SceneData,
     iteration,
+    pix,
     res_x: int,
     res_y: int,
+    n_paths_global: int,
     base_seed: int = 1234,
     max_path_length: int = 10,
     min_path_length: int = 0,
@@ -626,45 +646,75 @@ def render_iteration(
     light_trace_only: bool = False,
     ppm: bool = False,
     merge_k: int = 32,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
-    """One full VCM-family iteration -> accumulation image [resY,resX,3]."""
-    n = res_x * res_y
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    """One VCM-family iteration over the given (possibly sharded) path ids.
+
+    ``pix`` holds *global* path/pixel indices — the RNG streams and the
+    camera-pixel mapping depend only on them, so any partition of
+    ``arange(n_paths_global)`` over devices reproduces the single-device
+    image exactly. With ``axis_name`` set (inside shard_map), light vertices
+    are all-gathered for merging (the only cross-shard data dependency:
+    camera path i connects only to light path i, which lives on the same
+    shard, but merging needs every photon). MIS constants always use the
+    *global* light path count (vertexcm.hxx:303-308).
+    """
+    n = pix.shape[0]
     misc = compute_misc(
-        scene, iteration, n, radius_factor, radius_alpha, use_vc, use_vm
+        scene, iteration, n_paths_global, radius_factor, radius_alpha,
+        use_vc, use_vm,
     )
 
     fb = jnp.zeros((res_y, res_x, 3), jnp.float32)
 
     # ---- Stage 1: light sub-paths.
-    verts, fb = trace_light_paths(
+    verts, fb, light_rays = trace_light_paths(
         scene, misc, pix, iteration, fb, base_seed, max_path_length,
         min_path_length, use_vc, use_vm, light_trace_only,
     )
+    ray_count = light_rays
 
     if light_trace_only:
-        return fb
+        if axis_name is not None:
+            fb = jax.lax.psum(fb, axis_name)
+            ray_count = jax.lax.psum(ray_count, axis_name)
+        return fb, ray_count
 
     # ---- Stage 2: hashgrid over light vertices (merging only).
     max_l = verts.valid.shape[0]
+    num_cells = n_paths_global  # vertexcm.hxx:405-407
     if use_vm:
         flat = lambda a: a.reshape((max_l * n,) + a.shape[2:])
         fv_pos = flat(verts.position)
         fv_valid = flat(verts.valid)
-        grid = grid_ops.build(fv_pos, fv_valid, misc.radius, n)
-        # Precompute per-vertex continuation prob for the merge MIS.
+        fv_thr = flat(verts.throughput)
+        fv_wfix = -flat(verts.in_dir)
+        fv_dvcm = flat(verts.d_vcm)
+        fv_dvm = flat(verts.d_vm)
+        # Per-vertex continuation prob for the merge MIS (reconstructed
+        # deterministically from the stored incoming dir / normal / mat).
         lb = bsdf_ops.setup(
             scene.materials, flat(verts.in_dir), flat(verts.normal),
             flat(verts.mat_id), fv_valid,
         )
+        fv_cont = lb.cont_prob
         fv_len = (
             jnp.broadcast_to(
                 jnp.arange(1, max_l + 1, dtype=jnp.int32)[:, None], (max_l, n)
             ).reshape(-1)
         )
+        if axis_name is not None:
+            # Cross-shard photon exchange: gather every shard's vertices so
+            # local camera vertices can merge against the global photon map
+            # (the reference reads them from shared memory,
+            # vertexcm.hxx:530-538).
+            ag = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)
+            fv_pos, fv_thr, fv_wfix = ag(fv_pos), ag(fv_thr), ag(fv_wfix)
+            fv_dvcm, fv_dvm, fv_cont = ag(fv_dvcm), ag(fv_dvm), ag(fv_cont)
+            fv_len, fv_valid = ag(fv_len), ag(fv_valid)
+        grid = grid_ops.build(fv_pos, fv_valid, misc.radius, num_cells)
         flat_verts = (
-            fv_pos, flat(verts.throughput), -flat(verts.in_dir),
-            flat(verts.d_vcm), flat(verts.d_vm), lb.cont_prob, fv_len,
+            fv_pos, fv_thr, fv_wfix, fv_dvcm, fv_dvm, fv_cont, fv_len,
             fv_valid,
         )
     else:
@@ -679,9 +729,10 @@ def render_iteration(
     has_background = scene.background_idx >= 0
 
     def bounce(i, carry):
-        state, color = carry
+        state, color, rays = carry
         path_length = i + 1
 
+        rays = rays + jnp.sum(state.alive.astype(jnp.int32))
         org = state.origin + state.direction * EPS_RAY
         hit = intersect(scene, org, state.direction)
         hit_point = org + state.direction * hit.dist[:, None]
@@ -747,10 +798,12 @@ def render_iteration(
             color = color + jnp.where(
                 nee_on[:, None], state.throughput * nee, 0.0
             )
+            rays = rays + jnp.sum(nee_on.astype(jnp.int32))  # shadow rays
 
         # VC: connect to this path's light vertices (vertexcm.hxx:498-526).
         if use_vc:
-            def connect_slot(j, color):
+            def connect_slot(j, carry):
+                color, rays = carry
                 lv_len = j + 1
                 full_len = lv_len + 1 + path_length
                 in_range = (full_len >= min_path_length) & (
@@ -762,19 +815,23 @@ def render_iteration(
                     verts.position[j], verts.in_dir[j], verts.normal[j],
                     verts.mat_id[j], verts.d_vcm[j], verts.d_vc[j], lv_valid,
                 )
-                return color + jnp.where(
+                color = color + jnp.where(
                     lv_valid[:, None],
                     state.throughput * verts.throughput[j] * c,
                     0.0,
                 )
+                rays = rays + jnp.sum(lv_valid.astype(jnp.int32))
+                return color, rays
 
-            color = jax.lax.fori_loop(0, max_l, connect_slot, color)
+            color, rays = jax.lax.fori_loop(
+                0, max_l, connect_slot, (color, rays)
+            )
 
         # VM: merge with light vertices (vertexcm.hxx:530-538).
         if use_vm:
             merge_on = alive & ~b.is_delta
             mc = merge_vertices(
-                scene, misc, state, hit_point, b, flat_verts, grid, n,
+                scene, misc, state, hit_point, b, flat_verts, grid, num_cells,
                 merge_k, path_length, max_path_length, min_path_length, ppm,
             )
             color = color + jnp.where(
@@ -793,7 +850,82 @@ def render_iteration(
         state = sample_scattering(
             scene, misc, state, hit_point, b, u4, fix_is_light=False
         )
-        return state, color
+        return state, color, rays
 
-    state, color = jax.lax.fori_loop(0, max_path_length, bounce, (state, color))
-    return add_color(fb, sample, color)
+    state, color, cam_rays = jax.lax.fori_loop(
+        0, max_path_length, bounce, (state, color, jnp.zeros((), jnp.int32))
+    )
+    ray_count = ray_count + cam_rays
+    fb = add_color(fb, sample, color)
+    if axis_name is not None:
+        fb = jax.lax.psum(fb, axis_name)
+        ray_count = jax.lax.psum(ray_count, axis_name)
+    return fb, ray_count
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
+        "use_vc", "use_vm", "light_trace_only", "ppm", "merge_k",
+    ),
+)
+def render_iteration(
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    use_vc: bool = True,
+    use_vm: bool = True,
+    light_trace_only: bool = False,
+    ppm: bool = False,
+    merge_k: int = 32,
+) -> jnp.ndarray:
+    """Single-device iteration -> accumulation image [resY,resX,3]."""
+    n = res_x * res_y
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    fb, _ = render_iteration_core(
+        scene, iteration, pix, res_x, res_y, n, base_seed,
+        max_path_length, min_path_length, radius_factor, radius_alpha,
+        use_vc, use_vm, light_trace_only, ppm, merge_k, axis_name=None,
+    )
+    return fb
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
+        "use_vc", "use_vm", "light_trace_only", "ppm", "merge_k",
+    ),
+)
+def render_iteration_with_stats(
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    use_vc: bool = True,
+    use_vm: bool = True,
+    light_trace_only: bool = False,
+    ppm: bool = False,
+    merge_k: int = 32,
+):
+    """Like render_iteration but also returns the traced-ray count (path
+    segments + shadow/occlusion rays, the reference-comparable work metric)."""
+    n = res_x * res_y
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    return render_iteration_core(
+        scene, iteration, pix, res_x, res_y, n, base_seed,
+        max_path_length, min_path_length, radius_factor, radius_alpha,
+        use_vc, use_vm, light_trace_only, ppm, merge_k, axis_name=None,
+    )

@@ -1,0 +1,129 @@
+"""Differentiable rendering: pixel gradients w.r.t. scene parameters.
+
+New capability over the reference (which has no gradients): the whole
+wavefront pipeline — path tracing, BPT connections, and VCM photon merging —
+is jax.grad-able w.r.t. a parameter pytree of material reflectances, Phong
+exponents, IORs, and light intensities.
+
+Gradient strategy (see ops/bsdf.py setup): discrete sampling decisions (BSDF
+lobe choice, Russian roulette) use stop_gradient'ed probabilities, freezing
+the sampling distribution, so what remains is a pure reparameterized
+estimator — unbiased for parameters that enter the integrand continuously.
+Continuous sampling transforms (e.g. the Phong-exponent power-cosine lobe)
+keep gradients, as do pdfs and MIS weights.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .scene.scene import Materials, SceneData
+
+
+class Params(NamedTuple):
+    """Differentiable scene parameters."""
+
+    diffuse: jnp.ndarray          # [M,3]
+    phong: jnp.ndarray            # [M,3]
+    exponent: jnp.ndarray         # [M]
+    mirror: jnp.ndarray           # [M,3]
+    ior: jnp.ndarray              # [M]
+    light_intensity: jnp.ndarray  # [L,3]
+
+
+def extract_params(scene: SceneData) -> Params:
+    m = scene.materials
+    return Params(
+        diffuse=m.diffuse,
+        phong=m.phong,
+        exponent=m.exponent,
+        mirror=m.mirror,
+        ior=m.ior,
+        light_intensity=scene.lights.intensity,
+    )
+
+
+def apply_params(scene: SceneData, params: Params) -> SceneData:
+    mats = Materials(
+        diffuse=params.diffuse,
+        phong=params.phong,
+        exponent=params.exponent,
+        mirror=params.mirror,
+        ior=params.ior,
+    )
+    lights = scene.lights._replace(intensity=params.light_intensity)
+    return scene.replace(materials=mats, lights=lights)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "algorithm", "res_x", "res_y", "base_seed", "max_path_length",
+        "min_path_length", "merge_k",
+    ),
+)
+def render_params(
+    scene: SceneData,
+    params: Params,
+    iteration,
+    algorithm: str,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    merge_k: int = 32,
+) -> jnp.ndarray:
+    """One iteration of the given algorithm with params substituted."""
+    from .algorithms import pathtracer, vcm
+    from .render import _VCM_FLAGS
+
+    s = apply_params(scene, params)
+    if algorithm == "pt":
+        return pathtracer.render_iteration(
+            s, iteration, res_x, res_y, base_seed, max_path_length,
+            min_path_length,
+        )
+    use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[algorithm]
+    return vcm.render_iteration(
+        s, iteration, res_x, res_y, base_seed, max_path_length,
+        min_path_length, radius_factor, radius_alpha,
+        use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
+        merge_k=merge_k,
+    )
+
+
+def loss_and_grad(
+    scene: SceneData,
+    params: Params,
+    target: jnp.ndarray,
+    iteration,
+    algorithm: str,
+    res_x: int,
+    res_y: int,
+    n_iterations: int = 1,
+    **kw,
+):
+    """L2 image loss against a target and its gradient w.r.t. params.
+
+    Averages ``n_iterations`` stochastic render iterations before the loss so
+    inverse-rendering steps see a lower-variance image.
+    """
+
+    def loss_fn(p):
+        img = jnp.zeros((res_y, res_x, 3), jnp.float32)
+        for i in range(n_iterations):
+            img = img + render_params(
+                scene, p, iteration * n_iterations + i, algorithm,
+                res_x, res_y, **kw,
+            )
+        img = img / n_iterations
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

@@ -129,6 +129,27 @@ def save_image(fb, filename: str) -> None:
         save_bmp(fb, filename + ".bmp", gamma=2.2)
 
 
+def load_hdr(filename: str) -> np.ndarray:
+    """Read a flat (non-RLE) Radiance RGBE file as written by save_hdr or the
+    reference -> float [resY,resX,3]."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    # header ends at the blank line, then the resolution line
+    pos = data.find(b"\n\n") + 2
+    eol = data.find(b"\n", pos)
+    res_line = data[pos:eol].decode()
+    parts = res_line.split()
+    assert parts[0] == "-Y" and parts[2] == "+X", res_line
+    res_y, res_x = int(parts[1]), int(parts[3])
+    rgbe = np.frombuffer(
+        data, np.uint8, count=res_y * res_x * 4, offset=eol + 1
+    ).reshape(res_y, res_x, 4).astype(np.float32)
+    exp = np.ldexp(1.0, rgbe[..., 3].astype(np.int32) - 136)  # 2^(e-128)/256
+    img = rgbe[..., :3] * exp[..., None]
+    img[rgbe[..., 3] == 0] = 0.0
+    return img
+
+
 def load_bmp(filename: str) -> np.ndarray:
     """Read a 24bpp BMP written by either renderer -> float [resY,resX,3] in [0,1]."""
     with open(filename, "rb") as f:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.vecmath import (
@@ -115,6 +116,18 @@ def setup(materials: Materials, ray_dir, normal, mat_id, hit_mask) -> BsdfState:
         diffuse + phong + reflect_coeff[..., None] * mirror, axis=-1
     ) + (1.0 - reflect_coeff)
     cont = jnp.where(degenerate, 0.0, jnp.clip(cont, 0.0, 1.0))
+
+    # Differentiability: component probabilities and the RR continuation
+    # probability gate *discrete* sampling decisions. Detaching them here
+    # freezes the sampling distribution w.r.t. scene parameters, making the
+    # whole estimator a reparameterized (pathwise) gradient — unbiased for
+    # material/light parameters — while the BSDF *values* (and continuous
+    # sampling transforms like the Phong-exponent lobe) keep full gradients.
+    sg = jax.lax.stop_gradient
+    p_diff, p_phong, p_refl, p_refr = (
+        sg(p_diff), sg(p_phong), sg(p_refl), sg(p_refr)
+    )
+    cont = sg(cont)
 
     return BsdfState(
         valid=valid,

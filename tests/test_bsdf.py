@@ -1,0 +1,172 @@
+"""BSDF unit oracles: sample/eval/pdf consistency the reference never tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from smallvcm_tpu.core import rng
+from smallvcm_tpu.core.vecmath import frame_set_from_z, frame_to_world, dot
+from smallvcm_tpu.ops import bsdf as bsdf_ops
+from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return load_cornell_box((16, 16), SCENE_CONFIGS[0])
+
+
+def _setup_lanes(scene, mat_id, n=4096, seed=7):
+    """BSDF states for n lanes hitting material mat_id with random incoming
+    dirs on a +Z-normal surface."""
+    g = np.random.default_rng(seed)
+    d = g.normal(size=(n, 3))
+    d[:, 2] = -np.abs(d[:, 2]) - 0.05  # incoming from above
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    ray_dir = jnp.asarray(d, jnp.float32)
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    mat = jnp.full((n,), mat_id, jnp.int32)
+    hit = jnp.ones((n,), bool)
+    return bsdf_ops.setup(scene.materials, ray_dir, normal, mat, hit), ray_dir
+
+
+class TestSetup:
+    def test_delta_flags(self, scene):
+        # material 6 = mirror, 7 = glass => delta; 5 = diffuse => not
+        for mat_id, want in [(6, True), (7, True), (5, False), (2, False)]:
+            b, _ = _setup_lanes(scene, mat_id, n=8)
+            assert bool(b.is_delta[0]) == want, mat_id
+
+    def test_probabilities_sum_to_one(self, scene):
+        for mat_id in [2, 3, 5, 6, 7]:
+            b, _ = _setup_lanes(scene, mat_id, n=64)
+            total = np.asarray(
+                b.prob_diff + b.prob_phong + b.prob_refl + b.prob_refr
+            )
+            np.testing.assert_allclose(total[np.asarray(b.valid)], 1.0,
+                                       atol=1e-5)
+
+
+class TestSampleEvalConsistency:
+    @pytest.mark.parametrize("mat_id", [2, 3, 5])
+    def test_sample_pdf_matches_pdf_fn(self, scene, mat_id):
+        """pdf returned by Sample == Pdf(direct) at the sampled direction."""
+        n = 8192
+        b, _ = _setup_lanes(scene, mat_id, n=n)
+        u = rng.uniform_slots(99, 0, jnp.arange(n, dtype=jnp.uint32), 3)
+        value, wdir, pdf_s, cos_g, event, keep = bsdf_ops.sample(
+            scene.materials, b, u, fix_is_light=False
+        )
+        pdf_direct, _ = bsdf_ops.pdf(scene.materials, b, wdir)
+        k = np.asarray(keep)
+        np.testing.assert_allclose(
+            np.asarray(pdf_s)[k], np.asarray(pdf_direct)[k], rtol=2e-4,
+            atol=1e-6,
+        )
+
+    @pytest.mark.parametrize("mat_id", [2, 5])
+    def test_sample_value_matches_evaluate(self, scene, mat_id):
+        """BSDF factor from Sample == Evaluate at the sampled direction for
+        non-specular events."""
+        n = 8192
+        b, _ = _setup_lanes(scene, mat_id, n=n)
+        u = rng.uniform_slots(55, 0, jnp.arange(n, dtype=jnp.uint32), 3)
+        value, wdir, pdf_s, cos_g, event, keep = bsdf_ops.sample(
+            scene.materials, b, u, fix_is_light=False
+        )
+        ev, cos_e, _, _ = bsdf_ops.evaluate(scene.materials, b, wdir)
+        k = np.asarray(keep) & (
+            (np.asarray(event) & bsdf_ops.EV_SPECULAR) == 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(value)[k], np.asarray(ev)[k], rtol=2e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(cos_g)[k], np.asarray(cos_e)[k], rtol=1e-5, atol=1e-7
+        )
+
+    def test_white_furnace_diffuse(self, scene):
+        """E[f cos / pdf] over sampled dirs == albedo for diffuse mat 5."""
+        n = 1 << 16
+        b, _ = _setup_lanes(scene, 5, n=n)
+        u = rng.uniform_slots(77, 0, jnp.arange(n, dtype=jnp.uint32), 3)
+        value, wdir, pdf_s, cos_g, event, keep = bsdf_ops.sample(
+            scene.materials, b, u, fix_is_light=False
+        )
+        w = np.where(
+            np.asarray(keep),
+            np.asarray(value)[:, 0] * np.asarray(cos_g)
+            / np.maximum(np.asarray(pdf_s), 1e-12),
+            0.0,
+        )
+        albedo = float(scene.materials.diffuse[5, 0])
+        assert abs(w.mean() - albedo) < 0.01
+
+    def test_pdf_integrates_to_continuation_mass(self, scene):
+        """Integral of Pdf over the hemisphere ~= P(non-specular events)."""
+        n = 1 << 16
+        b, _ = _setup_lanes(scene, 2, n=n)  # glossy floor: diffuse + phong
+        g = np.random.default_rng(3)
+        # Uniform hemisphere directions (pdf = 1/(2pi))
+        u = g.uniform(size=(n, 2))
+        z = u[:, 0]
+        phi = 2 * np.pi * u[:, 1]
+        r = np.sqrt(1 - z * z)
+        dirs = jnp.asarray(
+            np.stack([r * np.cos(phi), r * np.sin(phi), z], -1), jnp.float32
+        )
+        pdf_direct, _ = bsdf_ops.pdf(scene.materials, b, dirs)
+        est = np.asarray(pdf_direct).mean() * 2 * np.pi
+        expected = float(b.prob_diff[0] + b.prob_phong[0])
+        assert abs(est - expected) < 0.02
+
+    def test_mirror_reflection_direction(self, scene):
+        n = 16
+        b, ray_dir = _setup_lanes(scene, 6, n=n)
+        u = rng.uniform_slots(11, 0, jnp.arange(n, dtype=jnp.uint32), 3)
+        value, wdir, pdf_s, cos_g, event, keep = bsdf_ops.sample(
+            scene.materials, b, u, fix_is_light=False
+        )
+        d = np.asarray(ray_dir)
+        w = np.asarray(wdir)
+        # reflect through z: (x, y, -z) of incoming
+        expect = np.stack([d[:, 0], d[:, 1], -d[:, 2]], -1)
+        np.testing.assert_allclose(w, expect, atol=1e-5)
+        assert (np.asarray(event) == bsdf_ops.EV_REFLECT).all()
+
+    def test_glass_snell(self, scene):
+        """Refraction obeys Snell's law for the glass material (ior 1.6)."""
+        n = 4096
+        b, ray_dir = _setup_lanes(scene, 7, n=n)
+        u = rng.uniform_slots(13, 0, jnp.arange(n, dtype=jnp.uint32), 3)
+        value, wdir, pdf_s, cos_g, event, keep = bsdf_ops.sample(
+            scene.materials, b, u, fix_is_light=False
+        )
+        refr = np.asarray(keep) & (np.asarray(event) == bsdf_ops.EV_REFRACT)
+        if refr.any():
+            d = np.asarray(ray_dir)[refr]
+            w = np.asarray(wdir)[refr]
+            sin_i = np.sqrt(np.maximum(0, 1 - d[:, 2] ** 2))
+            sin_t = np.sqrt(np.maximum(0, 1 - w[:, 2] ** 2))
+            np.testing.assert_allclose(sin_t, sin_i / 1.6, atol=1e-4)
+
+    def test_reverse_pdf_symmetry(self, scene):
+        """Evaluate's reverse pdf == direct pdf with swapped directions."""
+        n = 2048
+        b, ray_dir = _setup_lanes(scene, 2, n=n)
+        g = np.random.default_rng(5)
+        out = g.normal(size=(n, 3))
+        out[:, 2] = np.abs(out[:, 2]) + 0.05
+        out = jnp.asarray(out / np.linalg.norm(out, axis=-1, keepdims=True),
+                          jnp.float32)
+        _, _, _, rev = bsdf_ops.evaluate(scene.materials, b, out)
+
+        # Swapped: incoming = -out, evaluate at -ray_dir
+        b2 = bsdf_ops.setup(
+            scene.materials, -out,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)),
+            jnp.full((n,), 2, jnp.int32), jnp.ones((n,), bool),
+        )
+        _, _, direct2, _ = bsdf_ops.evaluate(scene.materials, b2, -ray_dir)
+        np.testing.assert_allclose(
+            np.asarray(rev), np.asarray(direct2), rtol=2e-4, atol=1e-6
+        )

@@ -1,0 +1,74 @@
+"""Multi-device sharding: N-device render equals single-device render.
+
+Strictly stronger than the reference, whose per-thread seeds change results
+with thread count (smallvcm.cxx:61-72): our counter-based RNG keys off
+global path ids, so any sharding reproduces the same estimate (up to psum
+reduction order).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from smallvcm_tpu.algorithms import vcm
+from smallvcm_tpu.parallel.sharding import make_mesh, sharded_render_iteration
+from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
+
+RES = 32
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return load_cornell_box((RES, RES), SCENE_CONFIGS[1])
+
+
+needs_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8_devices
+class TestShardingInvariance:
+    def test_vcm_8dev_matches_1dev(self, scene):
+        mesh = make_mesh(8)
+        img8 = np.asarray(
+            sharded_render_iteration(mesh, scene, 0, RES, RES)
+        )
+        img1 = np.asarray(vcm.render_iteration(scene, 0, RES, RES))
+        # psum reduction order may differ; estimates are identical otherwise
+        np.testing.assert_allclose(img8, img1, atol=1e-4, rtol=1e-4)
+
+    def test_2dev_matches_1dev(self, scene):
+        mesh = make_mesh(2)
+        img2 = np.asarray(
+            sharded_render_iteration(mesh, scene, 0, RES, RES)
+        )
+        img1 = np.asarray(vcm.render_iteration(scene, 0, RES, RES))
+        np.testing.assert_allclose(img2, img1, atol=1e-4, rtol=1e-4)
+
+    def test_lt_sharded(self, scene):
+        mesh = make_mesh(8)
+        img8 = np.asarray(
+            sharded_render_iteration(
+                mesh, scene, 0, RES, RES,
+                use_vc=False, use_vm=False, light_trace_only=True,
+            )
+        )
+        img1 = np.asarray(
+            vcm.render_iteration(
+                scene, 0, RES, RES,
+                use_vc=False, use_vm=False, light_trace_only=True,
+            )
+        )
+        np.testing.assert_allclose(img8, img1, atol=1e-4, rtol=1e-4)
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    n = min(len(jax.devices()), 8)
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    ge.dryrun_multichip(n)
