@@ -85,8 +85,11 @@ def render_iteration(
     def bounce(i, state: _PtState):
         path_length = i + 1  # reference pathLength counter
         hit = intersect(scene, state.org, state.direction)
-        hit_point = state.org + state.direction * hit.dist[:, None]
-        isect_dist = hit.dist + EPS_RAY
+        # Clamp miss-lane distances (1e36) so masked-off lanes can't mint
+        # inf/NaN (poisons reverse-mode gradients via 0*inf).
+        dist_safe = jnp.where(hit.hit, hit.dist, 1.0)
+        hit_point = state.org + state.direction * dist_safe[:, None]
+        isect_dist = dist_safe + EPS_RAY
 
         color = state.color
 

@@ -305,24 +305,29 @@ def trace_light_paths(
         org = state.origin + state.direction * EPS_RAY
         hit = intersect(scene, org, state.direction)
         alive = state.alive & hit.hit
-        hit_point = org + state.direction * hit.dist[:, None]
-        isect_dist = hit.dist + EPS_RAY
+        # Miss lanes carry dist = 1e36; clamp before any arithmetic so inf/
+        # NaN can never be minted in masked-off computations.
+        dist_safe = jnp.where(hit.hit, hit.dist, 1.0)
+        hit_point = org + state.direction * dist_safe[:, None]
+        isect_dist = dist_safe + EPS_RAY
 
         b = bsdf_ops.setup(
             scene.materials, state.direction, hit.normal, hit.mat_id, hit.hit
         )
         alive = alive & b.valid
 
-        # MIS completion after tracing (vertexcm.hxx:351-360).
+        # MIS completion after tracing (vertexcm.hxx:351-360). Masked by
+        # `alive`: dead lanes carry dist = 1e36 whose square overflows to inf
+        # and would mint 0*inf NaNs downstream.
         infinite_first = (path_length == 1) & ~state.is_finite_light
         d_vcm = jnp.where(
             infinite_first, state.d_vcm, state.d_vcm * _mis(sqr(isect_dist))
         )
         abs_cos = jnp.abs(b.cos_theta_fix())
         inv_cos = _safe_div(1.0, _mis(abs_cos))
-        d_vcm = d_vcm * inv_cos
-        d_vc = state.d_vc * inv_cos
-        d_vm = state.d_vm * inv_cos
+        d_vcm = jnp.where(alive, d_vcm * inv_cos, state.d_vcm)
+        d_vc = jnp.where(alive, state.d_vc * inv_cos, state.d_vc)
+        d_vm = jnp.where(alive, state.d_vm * inv_cos, state.d_vm)
         state = state._replace(d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm, alive=alive)
 
         # Store vertex (vertexcm.hxx:364-377).
@@ -735,8 +740,9 @@ def render_iteration_core(
         rays = rays + jnp.sum(state.alive.astype(jnp.int32))
         org = state.origin + state.direction * EPS_RAY
         hit = intersect(scene, org, state.direction)
-        hit_point = org + state.direction * hit.dist[:, None]
-        isect_dist = hit.dist + EPS_RAY
+        dist_safe = jnp.where(hit.hit, hit.dist, 1.0)
+        hit_point = org + state.direction * dist_safe[:, None]
+        isect_dist = dist_safe + EPS_RAY
 
         # Miss -> background radiance, using PRE-update MIS quantities
         # (vertexcm.hxx:434-447).
@@ -761,13 +767,17 @@ def render_iteration_core(
         )
         alive = alive & b.valid
 
-        # MIS update (vertexcm.hxx:459-464).
+        # MIS update (vertexcm.hxx:459-464), masked by alive (see light
+        # stage: dead-lane dist^2 overflows).
         abs_cos = jnp.abs(b.cos_theta_fix())
         inv_cos = _safe_div(1.0, _mis(abs_cos))
         state = state._replace(
-            d_vcm=state.d_vcm * _mis(sqr(isect_dist)) * inv_cos,
-            d_vc=state.d_vc * inv_cos,
-            d_vm=state.d_vm * inv_cos,
+            d_vcm=jnp.where(
+                alive, state.d_vcm * _mis(sqr(isect_dist)) * inv_cos,
+                state.d_vcm,
+            ),
+            d_vc=jnp.where(alive, state.d_vc * inv_cos, state.d_vc),
+            d_vm=jnp.where(alive, state.d_vm * inv_cos, state.d_vm),
         )
 
         # Hit a light source (vertexcm.hxx:468-479).

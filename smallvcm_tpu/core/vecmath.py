@@ -33,11 +33,16 @@ def len_sqr(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def length(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(len_sqr(a))
+    # Strictly positive clamp: sqrt's VJP at exactly 0 is NaN, and
+    # masked wavefront lanes do hold zero vectors.
+    return jnp.sqrt(jnp.maximum(len_sqr(a), 1e-35))
 
 
 def normalize(a: jnp.ndarray) -> jnp.ndarray:
-    return a * (1.0 / length(a))[..., None]
+    # The tiny clamp never fires on real unit-scale data; it keeps masked-off
+    # wavefront lanes (zero/huge vectors) from minting NaNs that would poison
+    # reverse-mode gradients through shared subexpressions.
+    return a * (1.0 / jnp.maximum(length(a), 1e-35))[..., None]
 
 
 def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -62,8 +67,12 @@ def pdf_w_to_a(pdf_w, dist, cos_there):
 
 
 def pdf_a_to_w(pdf_a, dist, cos_there):
-    """Area pdf -> solid-angle pdf (utils.hxx:253-259)."""
-    return pdf_a * sqr(dist) / jnp.abs(cos_there)
+    """Area pdf -> solid-angle pdf (utils.hxx:253-259).
+
+    |cos| is clamped away from exact zero: division by 0 itself yields the
+    reference's inf, but its VJP (0 cotangent / 0) would be NaN.
+    """
+    return pdf_a * sqr(dist) / jnp.maximum(jnp.abs(cos_there), 1e-35)
 
 
 # ---------------------------------------------------------------------------
@@ -104,8 +113,8 @@ def frame_to_local(fx, fy, fz, a):
 def sample_cos_hemisphere_w(rnd2):
     """Cosine-weighted hemisphere; returns (dir [...,3], pdfW [...])."""
     term1 = 2.0 * PI_F * rnd2[..., 0]
-    term2 = jnp.sqrt(1.0 - rnd2[..., 1])
-    z = jnp.sqrt(rnd2[..., 1])
+    term2 = jnp.sqrt(jnp.maximum(1.0 - rnd2[..., 1], 1e-12))
+    z = jnp.sqrt(jnp.maximum(rnd2[..., 1], 1e-12))
     d = jnp.stack([jnp.cos(term1) * term2, jnp.sin(term1) * term2, z], axis=-1)
     return d, z * INV_PI_F
 
@@ -115,10 +124,15 @@ def cos_hemisphere_pdf_w(normal, direction):
 
 
 def sample_power_cos_hemisphere_w(rnd2, power):
-    """Power-cosine lobe around +Z; returns (dir, pdfW) (utils.hxx:85-103)."""
+    """Power-cosine lobe around +Z; returns (dir, pdfW) (utils.hxx:85-103).
+
+    The random base of the pow is clamped below (u is a multiple of 2^-24,
+    so only exact zeros move): d(u^x)/dx = ln(u) u^x is NaN at u = 0.
+    """
     term1 = 2.0 * PI_F * rnd2[..., 0]
-    term2 = jnp.power(rnd2[..., 1], 1.0 / (power + 1.0))
-    term3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - term2 * term2))
+    u = jnp.maximum(rnd2[..., 1], 1e-12)
+    term2 = jnp.power(u, 1.0 / (power + 1.0))
+    term3 = jnp.sqrt(jnp.maximum(1.0 - term2 * term2, 1e-12))
     d = jnp.stack(
         [jnp.cos(term1) * term3, jnp.sin(term1) * term3, term2], axis=-1
     )
@@ -127,8 +141,13 @@ def sample_power_cos_hemisphere_w(rnd2, power):
 
 
 def power_cos_hemisphere_pdf_w(normal, direction, power):
+    """pow's base is clamped + masked so the exponent gradient is NaN-free
+    at grazing/backfacing directions (cos exactly 0 is common after the
+    max(0, .) clamp)."""
     cos_theta = jnp.maximum(0.0, dot(normal, direction))
-    return (power + 1.0) * jnp.power(cos_theta, power) * (INV_PI_F * 0.5)
+    safe = jnp.maximum(cos_theta, 1e-20)
+    val = (power + 1.0) * jnp.power(safe, power) * (INV_PI_F * 0.5)
+    return jnp.where(cos_theta > 0.0, val, 0.0)
 
 
 def sample_concentric_disc(rnd2):
@@ -163,14 +182,16 @@ def concentric_disc_pdf_a():
 
 def sample_uniform_triangle(rnd2):
     """Barycentric sample (utils.hxx:202-207)."""
-    term = jnp.sqrt(rnd2[..., 0])
+    term = jnp.sqrt(jnp.maximum(rnd2[..., 0], 1e-12))
     return jnp.stack([1.0 - term, rnd2[..., 1] * term], axis=-1)
 
 
 def sample_uniform_sphere_w(rnd2):
     """Uniform sphere direction; returns (dir, pdfSA) (utils.hxx:212-231)."""
     term1 = 2.0 * PI_F * rnd2[..., 0]
-    term2 = 2.0 * jnp.sqrt(jnp.maximum(0.0, rnd2[..., 1] - rnd2[..., 1] * rnd2[..., 1]))
+    term2 = 2.0 * jnp.sqrt(
+        jnp.maximum(rnd2[..., 1] - rnd2[..., 1] * rnd2[..., 1], 1e-12)
+    )
     d = jnp.stack(
         [
             jnp.cos(term1) * term2,
@@ -187,17 +208,27 @@ def uniform_sphere_pdf_w():
 
 
 def fresnel_dielectric(cos_inc, ior):
-    """Dielectric Fresnel (utils.hxx:43-74). ior < 0 => 1 (no refraction)."""
+    """Dielectric Fresnel (utils.hxx:43-74). ior < 0 => 1 (no refraction).
+
+    For ior < 0 lanes the result is overridden to 1; their eta is sanitized
+    to a benign positive value first so the intermediate math stays finite
+    (negative eta drives the r_perp denominator through zero, and the
+    resulting inf would NaN the backward pass via zero cotangents).
+    """
     hit_inside = cos_inc < 0.0
     abs_cos = jnp.abs(cos_inc)
-    eta = jnp.where(hit_inside, ior, 1.0 / jnp.where(ior == 0.0, 1.0, ior))
+    safe_ior = jnp.where(ior <= 0.0, 1.5, ior)
+    eta = jnp.where(hit_inside, safe_ior, 1.0 / safe_ior)
 
     sin_trans2 = sqr(eta) * (1.0 - sqr(abs_cos))
-    cos_trans = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_trans2))
+    cos_trans = jnp.sqrt(jnp.maximum(1.0 - sin_trans2, 1e-12))
 
+    # Denominators hit exact 0 only at perfectly grazing incidence, where the
+    # reference never evaluates Fresnel (BSDF::Setup rejects |cos| < eps
+    # first, bsdf.hxx:104-107); masked wavefront lanes do, so guard the 0/0.
     term1 = eta * cos_trans
-    r_par = (abs_cos - term1) / (abs_cos + term1)
+    r_par = (abs_cos - term1) / jnp.maximum(abs_cos + term1, 1e-35)
     term2 = eta * abs_cos
-    r_perp = (term2 - cos_trans) / (term2 + cos_trans)
+    r_perp = (term2 - cos_trans) / jnp.maximum(term2 + cos_trans, 1e-35)
     fres = 0.5 * (sqr(r_par) + sqr(r_perp))
     return jnp.where(ior < 0.0, jnp.ones_like(fres), fres)

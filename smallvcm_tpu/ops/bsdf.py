@@ -321,7 +321,7 @@ def sample(materials: Materials, state: BsdfState, rnd3, fix_is_light: bool):
     sin_i2 = 1.0 - cos_i * cos_i
     sin_t2 = sqr(eta) * sin_i2
     no_tir = sin_t2 < 1.0
-    cos_t = cos_t_sign * jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t2))
+    cos_t = cos_t_sign * jnp.sqrt(jnp.maximum(1.0 - sin_t2, 1e-12))
     f_dir = jnp.stack(
         [
             -eta * local_fix[..., 0],

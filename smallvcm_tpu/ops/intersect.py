@@ -56,8 +56,12 @@ def _tri_distances(scene: SceneData, org, direction, tmin):
     )
 
     n = scene.tri_normal[None, :, :]
-    distance = dot(n, ao) / dot(n, d)
-    ok = inside & (distance > tmin[:, None])
+    denom = dot(n, d)
+    # denom == 0 (ray parallel to plane) is a miss in the reference too
+    # (inf/NaN distance fails its range checks); guard the division so the
+    # 0/0 case can't mint NaNs into the VJP.
+    distance = dot(n, ao) / jnp.where(denom == 0.0, 1.0, denom)
+    ok = inside & (denom != 0.0) & (distance > tmin[:, None])
     return jnp.where(ok, distance, BIG_DIST)
 
 
@@ -71,7 +75,9 @@ def _sphere_distances(scene: SceneData, org, direction, tmin):
 
     disc = bq * bq - 4.0 * a * c
     valid = disc >= 0.0
-    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Clamp strictly above zero: sqrt's VJP at 0 is 0/0 = NaN for every
+    # sphere-missing lane otherwise.
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 1e-30))
     q = jnp.where(bq < 0.0, (-bq - sqrt_disc) * 0.5, (-bq + sqrt_disc) * 0.5)
 
     safe_q = jnp.where(q == 0.0, 1.0, q)
@@ -112,7 +118,10 @@ def intersect(scene: SceneData, org, direction, tmin=None, tmax=None) -> Hit:
 
     if scene.sph_center.shape[0] > 0:
         mat_sph = scene.sph_mat[sph_idx]
-        hit_p = org + direction * best_t[:, None]
+        # Clamp miss-lane distances (1e36) before forming the sphere normal:
+        # squaring them overflows to inf and normalize(0-ish) would NaN.
+        t_safe = jnp.where(hit, best_t, 1.0)
+        hit_p = org + direction * t_safe[:, None]
         normal_sph = normalize(hit_p - scene.sph_center[sph_idx])
         mat_id = jnp.where(is_tri, mat_tri, mat_sph)
         normal = jnp.where(is_tri[:, None], normal_tri, normal_sph)

@@ -91,9 +91,15 @@ def setup_camera(
 
 
 def transform_point(mat: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Homogeneous transform of [..., 3] points by a [4,4] row-major matrix."""
+    """Homogeneous transform of [..., 3] points by a [4,4] row-major matrix.
+
+    w == 0 (point on the camera plane during light-path splat projection)
+    is guarded: such raster positions land far off-screen either way, and
+    the guard keeps the division VJP NaN-free.
+    """
     r = p @ mat[:3, :3].T + mat[:3, 3]
     w = p @ mat[3, :3] + mat[3, 3]
+    w = jnp.where(jnp.abs(w) < 1e-35, 1e-35, w)
     return r / w[..., None]
 
 
