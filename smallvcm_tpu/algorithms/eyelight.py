@@ -13,11 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng
-from ..core.vecmath import dot
+from ..core.vec3 import V3, dot
 from ..ops.intersect import intersect
 from ..scene.camera import generate_ray
 from ..scene.scene import SceneData
-from ..io.framebuffer import add_color
+from ..io.framebuffer import add_color, new_fb_planes
 
 
 @partial(jax.jit, static_argnames=("res_x", "res_y", "base_seed"))
@@ -39,19 +39,22 @@ def render_iteration(
         base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
     )
     centered = jnp.asarray(iteration, jnp.int32) == 1
-    jitter = jnp.where(centered, 0.5, jitter)
+    jx = jnp.where(centered, 0.5, jitter[:, 0])
+    jy = jnp.where(centered, 0.5, jitter[:, 1])
 
-    sample = jnp.stack([x, y], axis=-1) + jitter
-    org, d = generate_ray(scene.camera, sample)
+    sx = x + jx
+    sy = y + jy
+    org, d = generate_ray(scene.camera, sx, sy)
     hit = intersect(scene, org, d)
 
     dot_ln = dot(hit.normal, -d)
-    color = jnp.where(
-        dot_ln[:, None] > 0,
-        jnp.stack([dot_ln, dot_ln, dot_ln], axis=-1),
-        jnp.stack([-dot_ln, jnp.zeros_like(dot_ln), jnp.zeros_like(dot_ln)], axis=-1),
+    zero = jnp.zeros_like(dot_ln)
+    color = V3(
+        jnp.where(dot_ln > 0, dot_ln, -dot_ln),
+        jnp.where(dot_ln > 0, dot_ln, zero),
+        jnp.where(dot_ln > 0, dot_ln, zero),
     )
-    color = jnp.where(hit.hit[:, None], color, 0.0)
+    color = color * hit.hit.astype(jnp.float32)
 
-    fb = jnp.zeros((res_y, res_x, 3), jnp.float32)
-    return add_color(fb, sample, color)
+    fb = add_color(new_fb_planes(res_x, res_y), sx, sy, color)
+    return fb.to_array()

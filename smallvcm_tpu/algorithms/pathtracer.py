@@ -4,6 +4,7 @@ Re-architecture of the reference's per-pixel recursive loop
 (pathtracer.hxx:45-215) as fixed-depth masked iteration: the whole image's
 paths advance one bounce per ``lax.fori_loop`` step; early ``break``s become
 ``alive``-mask updates and contributions are accumulated where-masked.
+All vectors are component-planar (core/vec3.py) for full VPU lane width.
 """
 
 from __future__ import annotations
@@ -15,13 +16,14 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng
-from ..core.vecmath import EPS_RAY, dot, pdf_a_to_w
+from ..core.vec3 import V3, dot, max_gt_zero, v3_where
+from ..core.vecmath import EPS_RAY, pdf_a_to_w
 from ..ops import bsdf as bsdf_ops
 from ..ops import lights as light_ops
 from ..ops.intersect import intersect, occluded
 from ..scene.camera import generate_ray
 from ..scene.scene import SceneData
-from ..io.framebuffer import add_color
+from ..io.framebuffer import add_color, new_fb_planes
 
 
 def _safe_div(a, b):
@@ -34,10 +36,10 @@ def _mis2(sample_pdf, other_pdf):
 
 
 class _PtState(NamedTuple):
-    org: jnp.ndarray          # [N,3]
-    direction: jnp.ndarray    # [N,3]
-    weight: jnp.ndarray       # [N,3] path throughput
-    color: jnp.ndarray        # [N,3] accumulated radiance
+    org: V3
+    direction: V3
+    weight: V3
+    color: V3
     last_specular: jnp.ndarray  # [N] bool
     last_pdf_w: jnp.ndarray     # [N]
     alive: jnp.ndarray          # [N] bool
@@ -69,26 +71,29 @@ def render_iteration(
     jitter = rng.uniform_slots(
         base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
     )
-    sample = jnp.stack([x, y], axis=-1) + jitter
-    org, direction = generate_ray(scene.camera, sample)
+    sx = x + jitter[:, 0]
+    sy = y + jitter[:, 1]
+    org, direction = generate_ray(scene.camera, sx, sy)
 
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
     state = _PtState(
         org=org,
         direction=direction,
-        weight=jnp.ones((n, 3), jnp.float32),
-        color=jnp.zeros((n, 3), jnp.float32),
+        weight=V3(ones, ones, ones),
+        color=V3(zeros, zeros, zeros),
         last_specular=jnp.ones((n,), bool),
-        last_pdf_w=jnp.ones((n,), jnp.float32),
+        last_pdf_w=ones,
         alive=jnp.ones((n,), bool),
     )
 
     def bounce(i, state: _PtState):
         path_length = i + 1  # reference pathLength counter
         hit = intersect(scene, state.org, state.direction)
-        # Clamp miss-lane distances (1e36) so masked-off lanes can't mint
-        # inf/NaN (poisons reverse-mode gradients via 0*inf).
+        # Clamp miss-lane distances (1e36): masked lanes must not mint
+        # inf/NaN (would poison reverse-mode gradients via 0*inf).
         dist_safe = jnp.where(hit.hit, hit.dist, 1.0)
-        hit_point = state.org + state.direction * dist_safe[:, None]
+        hit_point = state.org + state.direction * dist_safe
         isect_dist = dist_safe + EPS_RAY
 
         color = state.color
@@ -111,10 +116,10 @@ def render_iteration(
                 state.alive
                 & ~hit.hit
                 & (path_length >= min_path_length)
-                & (jnp.max(bg.radiance, axis=-1) > 0.0)
+                & max_gt_zero(bg.radiance)
             )
-            color = color + jnp.where(
-                take_bg[:, None], state.weight * mis[:, None] * bg.radiance, 0.0
+            color = color + v3_where(
+                take_bg, state.weight * bg.radiance * mis, 0.0
             )
 
         alive = state.alive & hit.hit
@@ -140,11 +145,9 @@ def render_iteration(
         take_l = (
             hit_light
             & (path_length >= min_path_length)
-            & (jnp.max(lr.radiance, axis=-1) > 0.0)
+            & max_gt_zero(lr.radiance)
         )
-        color = color + jnp.where(
-            take_l[:, None], state.weight * mis_l[:, None] * lr.radiance, 0.0
-        )
+        color = color + v3_where(take_l, state.weight * lr.radiance * mis_l, 0.0)
         alive = alive & ~hit_light  # lights do not reflect
 
         alive = alive & (path_length < max_path_length) & (b.cont_prob > 0.0)
@@ -160,7 +163,8 @@ def render_iteration(
             (u[:, 0] * light_count).astype(jnp.int32), light_count - 1
         )
         ill = light_ops.illuminate(
-            scene.lights, light_id, scene.scene_sphere, hit_point, u[:, 1:3]
+            scene.lights, light_id, scene.scene_sphere, hit_point,
+            u[:, 1], u[:, 2],
         )
         factor, cos_out, bsdf_pdf_w, _ = bsdf_ops.evaluate(
             scene.materials, b, ill.dir_to_light
@@ -173,22 +177,21 @@ def render_iteration(
             1.0,
             _mis2(ill.direct_pdf_w * light_pick_prob, bsdf_pdf_w * b.cont_prob),
         )
-        contrib = (
-            nee_weight * cos_out / (light_pick_prob * jnp.where(
-                ill.direct_pdf_w == 0.0, 1.0, ill.direct_pdf_w))
-        )[:, None] * (ill.radiance * factor)
+        contrib = (ill.radiance * factor) * (
+            nee_weight * cos_out * _safe_div(
+                1.0, light_pick_prob * ill.direct_pdf_w
+            )
+        )
         nee_ok = (
             alive
             & ~b.is_delta
             & (path_length + 1 >= min_path_length)
-            & (jnp.max(ill.radiance, axis=-1) > 0.0)
-            & (jnp.max(factor, axis=-1) > 0.0)
-            & (jnp.max(contrib, axis=-1) > 0.0)
+            & max_gt_zero(ill.radiance)
+            & max_gt_zero(factor)
+            & max_gt_zero(contrib)
         )
         shadowed = occluded(scene, hit_point, ill.dir_to_light, ill.distance)
-        color = color + jnp.where(
-            (nee_ok & ~shadowed)[:, None], state.weight * contrib, 0.0
-        )
+        color = color + v3_where(nee_ok & ~shadowed, state.weight * contrib, 0.0)
 
         # --- Continue random walk (pathtracer.hxx:176-209).
         w = rng.uniform_slots(
@@ -198,7 +201,7 @@ def render_iteration(
             4,
         )
         s_factor, s_dir, s_pdf, s_cos, s_event, s_keep = bsdf_ops.sample(
-            scene.materials, b, w[:, 0:3], fix_is_light=False
+            scene.materials, b, w[:, 0], w[:, 1], w[:, 2], fix_is_light=False
         )
         alive = alive & s_keep
 
@@ -210,13 +213,13 @@ def render_iteration(
         alive = alive & ~rr_kill
         s_pdf = jnp.where(cont_prob < 1.0, s_pdf * cont_prob, s_pdf)
 
-        new_weight = state.weight * s_factor * _safe_div(s_cos, s_pdf)[:, None]
-        new_org = hit_point + EPS_RAY * s_dir
+        new_weight = state.weight * s_factor * _safe_div(s_cos, s_pdf)
+        new_org = hit_point + s_dir * EPS_RAY
 
         return _PtState(
-            org=jnp.where(alive[:, None], new_org, state.org),
-            direction=jnp.where(alive[:, None], s_dir, state.direction),
-            weight=jnp.where(alive[:, None], new_weight, state.weight),
+            org=v3_where(alive, new_org, state.org),
+            direction=v3_where(alive, s_dir, state.direction),
+            weight=v3_where(alive, new_weight, state.weight),
             color=color,
             last_specular=jnp.where(alive, last_specular, state.last_specular),
             last_pdf_w=jnp.where(alive, last_pdf_w, state.last_pdf_w),
@@ -225,5 +228,5 @@ def render_iteration(
 
     state = jax.lax.fori_loop(0, max_path_length, bounce, state)
 
-    fb = jnp.zeros((res_y, res_x, 3), jnp.float32)
-    return add_color(fb, sample, state.color)
+    fb = add_color(new_fb_planes(res_x, res_y), sx, sy, state.color)
+    return fb.to_array()

@@ -1,28 +1,35 @@
 """Wavefront Vertex Connection and Merging (lt / ppm / bpm / bpt / vcm).
 
-Re-architecture of the reference's ``VertexCM`` (vertexcm.hxx:61-1031), the
+Re-architecture of the reference's ``VertexCM`` (vertexcm.hxx:61-1031) — the
 five-algorithm family switched by (use_vc, use_vm, light_trace_only, ppm)
-static flags, as a three-stage wavefront pipeline:
+static flags — as a TPU-native four-stage wavefront pipeline over
+component-planar (SoA) vectors:
 
-  1. *Light stage*: all ``N = resX*resY`` light sub-paths advance one bounce
-     per ``lax.fori_loop`` step; non-delta vertices are written to fixed
-     per-path slots ``[maxL, N, ...]`` (replacing the reference's ragged
-     ``mPathEnds`` CSR pairing, vertexcm.hxx:311-312) and splat onto the
-     framebuffer via differentiable scatter-add (ConnectToCamera).
-  2. *Grid stage* (merging only): sorted-cell gather hashgrid over all stored
-     light vertices (see ops/hashgrid.py).
-  3. *Camera stage*: camera sub-paths advance bounce-by-bounce doing the four
-     contribution techniques per vertex (hit-light radiance, connect-to-light
-     NEE, connect to the same-index light path's vertices, merge against the
-     grid), with the dVCM/dVC/dVM MIS recursion carried per lane.
+  1. *Light stage*: all N light sub-paths advance one bounce per
+     ``lax.fori_loop`` step; non-delta vertices land in fixed per-path slots
+     ``[maxL, N]`` (replacing the ragged ``mPathEnds`` CSR pairing,
+     vertexcm.hxx:311-312) and splat onto the framebuffer via differentiable
+     scatter-add (ConnectToCamera).
+  2. *Grid stage* (merging only): photons cell-sorted with a keys-only
+     packed radix sort (see ops/hashgrid.py — TPU argsort is pathological).
+  3. *Camera stage*: camera sub-paths advance bounce-by-bounce doing
+     hit-light radiance, NEE, and same-index light-path connections, with
+     the dVCM/dVC/dVM MIS recursion carried per lane. Merge *queries*
+     (the camera vertex + its MIS state) are recorded per bounce instead of
+     merging inline.
+  4. *Merge stage* (merging only): all recorded queries are processed in
+     one pass — exact (query, photon) candidate pairs are expanded from the
+     grid's CSR ranges (work scales with actual candidates, not padded cell
+     capacity), distance-filtered, evaluated, and scatter-added back to the
+     owning pixel. Merging is additive and independent of the walk, so
+     deferring it is exactly equivalent to the reference's inline loop.
 
 The per-lane MIS recursion implements the tech-report equations exactly as
-the reference does; equation references [tech. rep. (NN)] use the same
-numbering as vertexcm.hxx comments.
+the reference does; [tech. rep. (NN)] refs use vertexcm.hxx's numbering.
 
-Because camera path *i* connects only to light path *i* (vertexcm.hxx:
-498-526), sharding both stages by path index makes vertex connection
-shard-local; only the merging grid needs cross-shard light vertices.
+Because camera path i connects only to light path i (vertexcm.hxx:498-526),
+sharding both stages by path index makes vertex connection shard-local; only
+the photon map needs cross-shard exchange (all-gather).
 """
 
 from __future__ import annotations
@@ -34,14 +41,15 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng
-from ..core.vecmath import EPS_RAY, PI_F, dot, len_sqr, pdf_w_to_a, sqr
+from ..core.vec3 import V3, dot, len_sqr, max_gt_zero, v3_where
+from ..core.vecmath import EPS_RAY, PI_F, pdf_w_to_a, sqr
 from ..ops import bsdf as bsdf_ops
 from ..ops import hashgrid as grid_ops
 from ..ops import lights as light_ops
 from ..ops.intersect import intersect, occluded
 from ..scene.camera import check_raster, generate_ray, world_to_raster
 from ..scene.scene import SceneData
-from ..io.framebuffer import add_color
+from ..io.framebuffer import add_color, new_fb_planes
 
 
 def _safe_div(a, b):
@@ -56,33 +64,33 @@ def _mis(pdf):
 class SubPathState(NamedTuple):
     """vertexcm.hxx:64-76 as SoA."""
 
-    origin: jnp.ndarray        # [N,3]
-    direction: jnp.ndarray     # [N,3]
-    throughput: jnp.ndarray    # [N,3]
+    origin: V3
+    direction: V3
+    throughput: V3
     is_finite_light: jnp.ndarray  # [N] bool
     specular_path: jnp.ndarray    # [N] bool
-    d_vcm: jnp.ndarray         # [N]
-    d_vc: jnp.ndarray          # [N]
-    d_vm: jnp.ndarray          # [N]
-    alive: jnp.ndarray         # [N] bool
+    d_vcm: jnp.ndarray            # [N]
+    d_vc: jnp.ndarray             # [N]
+    d_vm: jnp.ndarray             # [N]
+    alive: jnp.ndarray            # [N] bool
 
 
-class LightVertices(NamedTuple):
-    """Fixed-slot light vertex storage [maxL, N, ...] (PathVertex<true>).
+class StoredVertices(NamedTuple):
+    """Fixed-slot vertex storage [L, N] (PathVertex, vertexcm.hxx:79-98).
 
     The vertex BSDF is reconstructed from (in_dir, normal, mat_id) at use
-    time — cheaper than storing frames/probabilities, and bitwise identical
-    because Setup is deterministic.
+    time — Setup is deterministic, so this is exact and cheaper than
+    storing frames/probabilities.
     """
 
-    position: jnp.ndarray    # [L,N,3]
-    throughput: jnp.ndarray  # [L,N,3]
-    in_dir: jnp.ndarray      # [L,N,3] ray direction arriving at the vertex
-    normal: jnp.ndarray      # [L,N,3] geometric normal at the vertex
+    position: V3             # V3 of [L,N]
+    throughput: V3
+    in_dir: V3               # ray direction arriving at the vertex
+    normal: V3
     mat_id: jnp.ndarray      # [L,N]
-    d_vcm: jnp.ndarray       # [L,N]
-    d_vc: jnp.ndarray        # [L,N]
-    d_vm: jnp.ndarray        # [L,N]
+    d_vcm: jnp.ndarray
+    d_vc: jnp.ndarray        # light: dVC; camera queries: unused
+    d_vm: jnp.ndarray
     valid: jnp.ndarray       # [L,N] bool; slot i holds pathLength == i+1
 
 
@@ -95,6 +103,37 @@ class VcmMisc(NamedTuple):
     mis_vm_weight: jnp.ndarray
     mis_vc_weight: jnp.ndarray
     light_sub_path_count: jnp.ndarray
+
+
+def _empty_vertices(max_l: int, n: int) -> StoredVertices:
+    zf = jnp.zeros((max_l, n), jnp.float32)
+    zv = V3(zf, zf, zf)
+    return StoredVertices(
+        position=zv, throughput=zv, in_dir=zv, normal=zv,
+        mat_id=jnp.zeros((max_l, n), jnp.int32),
+        d_vcm=zf, d_vc=zf, d_vm=zf,
+        valid=jnp.zeros((max_l, n), bool),
+    )
+
+
+def _store_slot(verts: StoredVertices, i, **fields) -> StoredVertices:
+    upd = lambda arr, val: jax.lax.dynamic_update_index_in_dim(
+        arr, val, i, axis=0
+    )
+    updv = lambda arr, val: V3(
+        upd(arr.x, val.x), upd(arr.y, val.y), upd(arr.z, val.z)
+    )
+    return StoredVertices(
+        position=updv(verts.position, fields["position"]),
+        throughput=updv(verts.throughput, fields["throughput"]),
+        in_dir=updv(verts.in_dir, fields["in_dir"]),
+        normal=updv(verts.normal, fields["normal"]),
+        mat_id=upd(verts.mat_id, fields["mat_id"]),
+        d_vcm=upd(verts.d_vcm, fields["d_vcm"]),
+        d_vc=upd(verts.d_vc, fields["d_vc"]),
+        d_vm=upd(verts.d_vm, fields["d_vm"]),
+        valid=upd(verts.valid, fields["valid"]),
+    )
 
 
 def compute_misc(
@@ -140,18 +179,17 @@ def generate_light_sample(
         (u[:, 0] * light_count).astype(jnp.int32), light_count - 1
     )
     em = light_ops.emit(
-        scene.lights, light_id, scene.scene_sphere, u[:, 1:3], u[:, 3:5]
+        scene.lights, light_id, scene.scene_sphere,
+        u[:, 1], u[:, 2], u[:, 3], u[:, 4],
     )
     emission_pdf = em.emission_pdf_w * pick_prob
     direct_pdf = em.direct_pdf_a * pick_prob
 
-    throughput = em.energy * _safe_div(1.0, emission_pdf)[:, None]
+    throughput = em.energy * _safe_div(1.0, emission_pdf)
 
     d_vcm = _mis(_safe_div(direct_pdf, emission_pdf))
     used_cos = jnp.where(em.is_finite, em.cos_theta_light, 1.0)
-    d_vc = jnp.where(
-        em.is_delta, 0.0, _mis(_safe_div(used_cos, emission_pdf))
-    )
+    d_vc = jnp.where(em.is_delta, 0.0, _mis(_safe_div(used_cos, emission_pdf)))
     d_vm = d_vc * misc.mis_vc_weight
 
     return SubPathState(
@@ -160,33 +198,32 @@ def generate_light_sample(
         throughput=throughput,
         is_finite_light=em.is_finite,
         specular_path=jnp.ones((n,), bool),
-        d_vcm=d_vcm,
-        d_vc=d_vc,
-        d_vm=d_vm,
+        d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm,
         alive=emission_pdf > 0.0,
     )
 
 
 def connect_to_camera(
-    scene: SceneData, misc: VcmMisc, state: SubPathState, hit_point,
+    scene: SceneData, misc: VcmMisc, state: SubPathState, hit_point: V3,
     b: bsdf_ops.BsdfState, enabled_mask, light_trace_only: bool,
 ):
-    """ConnectToCamera (vertexcm.hxx:862-933) — returns (raster_xy, contrib)."""
+    """ConnectToCamera (vertexcm.hxx:862-933) -> (raster_x, raster_y,
+    contrib V3)."""
     cam = scene.camera
     dir_to_cam_raw = cam.position - hit_point
     in_front = dot(cam.forward, -dir_to_cam_raw) > 0.0
 
-    image_pos = world_to_raster(cam, hit_point)
-    on_screen = check_raster(cam, image_pos)
+    rx, ry = world_to_raster(cam, hit_point)
+    on_screen = check_raster(cam, rx, ry)
 
     dist_eye2 = jnp.maximum(len_sqr(dir_to_cam_raw), 1e-30)
     distance = jnp.sqrt(dist_eye2)
-    dir_to_cam = dir_to_cam_raw / distance[:, None]
+    dir_to_cam = dir_to_cam_raw * (1.0 / distance)
 
     factor, cos_to_cam, _, rev_pdf_w = bsdf_ops.evaluate(
         scene.materials, b, dir_to_cam
     )
-    nonzero = jnp.max(factor, axis=-1) > 0.0
+    nonzero = max_gt_zero(factor)
     rev_pdf_w = rev_pdf_w * b.cont_prob
 
     cos_at_cam = dot(cam.forward, -dir_to_cam)
@@ -204,36 +241,34 @@ def connect_to_camera(
     )
 
     surface_to_img = _safe_div(1.0, img_to_surface)
-    contrib = (
-        mis_weight[:, None]
-        * state.throughput
-        * factor
-        / (misc.light_sub_path_count * surface_to_img)[:, None]
+    scale = mis_weight * _safe_div(
+        1.0, misc.light_sub_path_count * surface_to_img
     )
+    contrib = state.throughput * factor * scale
 
-    ok = enabled_mask & in_front & on_screen & nonzero
-    ok = ok & (jnp.max(contrib, axis=-1) > 0.0)
+    ok = enabled_mask & in_front & on_screen & nonzero & max_gt_zero(contrib)
     shadowed = occluded(scene, hit_point, dir_to_cam, distance)
     ok = ok & ~shadowed
-    return image_pos, jnp.where(ok[:, None], contrib, 0.0)
+    return rx, ry, v3_where(ok, contrib, 0.0), ok
 
 
 def sample_scattering(
-    scene: SceneData, misc: VcmMisc, state: SubPathState, hit_point,
-    b: bsdf_ops.BsdfState, u4, fix_is_light: bool,
+    scene: SceneData, misc: VcmMisc, state: SubPathState, hit_point: V3,
+    b: bsdf_ops.BsdfState, u, fix_is_light: bool,
 ) -> SubPathState:
     """SampleScattering (vertexcm.hxx:937-1006) — masked wavefront version."""
     factor, new_dir, dir_pdf_w, cos_out, event, keep = bsdf_ops.sample(
-        scene.materials, b, u4[:, 0:3], fix_is_light=fix_is_light
+        scene.materials, b, u[:, 0], u[:, 1], u[:, 2],
+        fix_is_light=fix_is_light,
     )
     alive = state.alive & keep
 
     specular = (event & bsdf_ops.EV_SPECULAR) != 0
-    rev_direct, rev_reverse = bsdf_ops.pdf(scene.materials, b, new_dir)
+    _, rev_reverse = bsdf_ops.pdf(scene.materials, b, new_dir)
     rev_pdf_w = jnp.where(specular, dir_pdf_w, rev_reverse)
 
     cont = b.cont_prob
-    alive = alive & (u4[:, 3] <= cont)
+    alive = alive & (u[:, 3] <= cont)
     dir_pdf_w = dir_pdf_w * cont
     rev_pdf_w = rev_pdf_w * cont
 
@@ -256,13 +291,14 @@ def sample_scattering(
     )
     specular_path = state.specular_path & specular
 
-    throughput = state.throughput * factor * cos_over_pdf[:, None]
+    throughput = state.throughput * factor * cos_over_pdf
 
-    sel = lambda new, old: jnp.where(alive[:, None] if new.ndim == 2 else alive, new, old)
+    sel = lambda new, old: jnp.where(alive, new, old)
+    selv = lambda new, old: v3_where(alive, new, old)
     return SubPathState(
-        origin=sel(hit_point, state.origin),
-        direction=sel(new_dir, state.direction),
-        throughput=sel(throughput, state.throughput),
+        origin=selv(hit_point, state.origin),
+        direction=selv(new_dir, state.direction),
+        throughput=selv(throughput, state.throughput),
         is_finite_light=state.is_finite_light,
         specular_path=sel(specular_path, state.specular_path),
         d_vcm=sel(d_vcm, state.d_vcm),
@@ -277,25 +313,14 @@ def trace_light_paths(
     base_seed: int, max_path_length: int, min_path_length: int,
     use_vc: bool, use_vm: bool, light_trace_only: bool,
 ):
-    """Light stage (vertexcm.hxx:321-396). Returns (vertices, fb)."""
+    """Light stage (vertexcm.hxx:321-396) -> (vertices, fb, ray_count)."""
     n = pix.shape[0]
     max_l = max(1, max_path_length - 1)
     store_vertices = use_vc or use_vm
     connect_cam = use_vc or light_trace_only
 
     state = generate_light_sample(scene, misc, pix, iteration, base_seed)
-
-    verts = LightVertices(
-        position=jnp.zeros((max_l, n, 3), jnp.float32),
-        throughput=jnp.zeros((max_l, n, 3), jnp.float32),
-        in_dir=jnp.zeros((max_l, n, 3), jnp.float32),
-        normal=jnp.zeros((max_l, n, 3), jnp.float32),
-        mat_id=jnp.zeros((max_l, n), jnp.int32),
-        d_vcm=jnp.zeros((max_l, n), jnp.float32),
-        d_vc=jnp.zeros((max_l, n), jnp.float32),
-        d_vm=jnp.zeros((max_l, n), jnp.float32),
-        valid=jnp.zeros((max_l, n), bool),
-    )
+    verts = _empty_vertices(max_l, n)
 
     def bounce(i, carry):
         state, verts, fb, rays = carry
@@ -305,10 +330,8 @@ def trace_light_paths(
         org = state.origin + state.direction * EPS_RAY
         hit = intersect(scene, org, state.direction)
         alive = state.alive & hit.hit
-        # Miss lanes carry dist = 1e36; clamp before any arithmetic so inf/
-        # NaN can never be minted in masked-off computations.
         dist_safe = jnp.where(hit.hit, hit.dist, 1.0)
-        hit_point = org + state.direction * dist_safe[:, None]
+        hit_point = org + state.direction * dist_safe
         isect_dist = dist_safe + EPS_RAY
 
         b = bsdf_ops.setup(
@@ -316,36 +339,30 @@ def trace_light_paths(
         )
         alive = alive & b.valid
 
-        # MIS completion after tracing (vertexcm.hxx:351-360). Masked by
-        # `alive`: dead lanes carry dist = 1e36 whose square overflows to inf
-        # and would mint 0*inf NaNs downstream.
+        # MIS completion after tracing (vertexcm.hxx:351-360), masked by
+        # alive so dead lanes can't overflow/NaN.
         infinite_first = (path_length == 1) & ~state.is_finite_light
         d_vcm = jnp.where(
             infinite_first, state.d_vcm, state.d_vcm * _mis(sqr(isect_dist))
         )
         abs_cos = jnp.abs(b.cos_theta_fix())
         inv_cos = _safe_div(1.0, _mis(abs_cos))
-        d_vcm = jnp.where(alive, d_vcm * inv_cos, state.d_vcm)
-        d_vc = jnp.where(alive, state.d_vc * inv_cos, state.d_vc)
-        d_vm = jnp.where(alive, state.d_vm * inv_cos, state.d_vm)
-        state = state._replace(d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm, alive=alive)
+        state = state._replace(
+            d_vcm=jnp.where(alive, d_vcm * inv_cos, state.d_vcm),
+            d_vc=jnp.where(alive, state.d_vc * inv_cos, state.d_vc),
+            d_vm=jnp.where(alive, state.d_vm * inv_cos, state.d_vm),
+            alive=alive,
+        )
 
         # Store vertex (vertexcm.hxx:364-377).
         if store_vertices:
             can_store = alive & ~b.is_delta
-            upd = lambda arr, val: jax.lax.dynamic_update_index_in_dim(
-                arr, val, i, axis=0
-            )
-            verts = LightVertices(
-                position=upd(verts.position, hit_point),
-                throughput=upd(verts.throughput, state.throughput),
-                in_dir=upd(verts.in_dir, state.direction),
-                normal=upd(verts.normal, hit.normal),
-                mat_id=upd(verts.mat_id, hit.mat_id),
-                d_vcm=upd(verts.d_vcm, state.d_vcm),
-                d_vc=upd(verts.d_vc, state.d_vc),
-                d_vm=upd(verts.d_vm, state.d_vm),
-                valid=upd(verts.valid, can_store),
+            verts = _store_slot(
+                verts, i,
+                position=hit_point, throughput=state.throughput,
+                in_dir=state.direction, normal=hit.normal,
+                mat_id=hit.mat_id, d_vcm=state.d_vcm, d_vc=state.d_vc,
+                d_vm=state.d_vm, valid=can_store,
             )
 
         # Connect to camera (vertexcm.hxx:380-384).
@@ -353,10 +370,10 @@ def trace_light_paths(
             enabled = (
                 alive & ~b.is_delta & (path_length + 1 >= min_path_length)
             )
-            raster, contrib = connect_to_camera(
+            rx, ry, contrib, cast = connect_to_camera(
                 scene, misc, state, hit_point, b, enabled, light_trace_only
             )
-            fb = add_color(fb, raster, contrib)
+            fb = add_color(fb, rx, ry, contrib)
             rays = rays + jnp.sum(enabled.astype(jnp.int32))  # shadow rays
 
         # Path-too-long termination (vertexcm.hxx:387).
@@ -364,14 +381,13 @@ def trace_light_paths(
             alive=alive & (path_length + 2 <= max_path_length)
         )
 
-        u4 = rng.uniform_slots(
+        u = rng.uniform_slots(
             base_seed,
             rng.make_stream(iteration, rng.STAGE_LIGHT_WALK, i),
-            pix,
-            4,
+            pix, 4,
         )
         state = sample_scattering(
-            scene, misc, state, hit_point, b, u4, fix_is_light=True
+            scene, misc, state, hit_point, b, u, fix_is_light=True
         )
         return state, verts, fb, rays
 
@@ -397,39 +413,42 @@ def generate_camera_sample(
     jitter = rng.uniform_slots(
         base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
     )
-    sample = jnp.stack([x, y], axis=-1) + jitter
+    sx = x + jitter[:, 0]
+    sy = y + jitter[:, 1]
 
-    org, direction = generate_ray(cam, sample)
+    org, direction = generate_ray(cam, sx, sy)
     cos_at_cam = dot(cam.forward, direction)
     img_to_cam_dist = cam.image_plane_dist / cos_at_cam
     camera_pdf_w = sqr(img_to_cam_dist) / cos_at_cam
 
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
     state = SubPathState(
         origin=org,
         direction=direction,
-        throughput=jnp.ones((n, 3), jnp.float32),
+        throughput=V3(ones, ones, ones),
         is_finite_light=jnp.zeros((n,), bool),
         specular_path=jnp.ones((n,), bool),
         d_vcm=_mis(misc.light_sub_path_count / camera_pdf_w),
-        d_vc=jnp.zeros((n,), jnp.float32),
-        d_vm=jnp.zeros((n,), jnp.float32),
+        d_vc=zeros,
+        d_vm=zeros,
         alive=jnp.ones((n,), bool),
     )
-    return sample, state
+    return sx, sy, state
 
 
 def get_light_radiance_weighted(
-    scene: SceneData, state: SubPathState, light_id, ray_dir, path_length,
+    scene: SceneData, state: SubPathState, light_id, ray_dir: V3, path_length,
     use_vc: bool, use_vm: bool,
-):
-    """GetLightRadiance (vertexcm.hxx:617-658): radiance * MIS weight [N,3]."""
+) -> V3:
+    """GetLightRadiance (vertexcm.hxx:617-658): radiance * MIS weight."""
     light_count = scene.lights.kind.shape[0]
     pick_prob = 1.0 / light_count
 
     lr = light_ops.get_radiance(
         scene.lights, light_id, scene.scene_sphere, ray_dir
     )
-    nonzero = jnp.max(lr.radiance, axis=-1) > 0.0
+    nonzero = max_gt_zero(lr.radiance)
 
     direct_pdf = lr.direct_pdf_a * pick_prob
     emission_pdf = lr.emission_pdf_w * pick_prob
@@ -438,21 +457,19 @@ def get_light_radiance_weighted(
     w_camera = _mis(direct_pdf) * state.d_vcm + _mis(emission_pdf) * state.d_vc
     mis_weight = 1.0 / (1.0 + w_camera)
 
-    if use_vm and not use_vc:  # merging-only: purely specular paths give light
-        weighted = jnp.where(
-            state.specular_path[:, None], lr.radiance, 0.0
-        )
+    if use_vm and not use_vc:  # merging-only: purely specular paths only
+        weighted = v3_where(state.specular_path, lr.radiance, 0.0)
     else:
-        weighted = mis_weight[:, None] * lr.radiance
-    weighted = jnp.where((path_length == 1)[..., None], lr.radiance, weighted)
-    return jnp.where(nonzero[:, None], weighted, 0.0)
+        weighted = lr.radiance * mis_weight
+    weighted = v3_where(path_length == 1, lr.radiance, weighted)
+    return v3_where(nonzero, weighted, 0.0)
 
 
 def direct_illumination(
-    scene: SceneData, misc: VcmMisc, state: SubPathState, hit_point,
+    scene: SceneData, misc: VcmMisc, state: SubPathState, hit_point: V3,
     b: bsdf_ops.BsdfState, u3,
-):
-    """DirectIllumination (vertexcm.hxx:663-738): NEE contribution [N,3]."""
+) -> V3:
+    """DirectIllumination (vertexcm.hxx:663-738): NEE contribution."""
     light_count = scene.lights.kind.shape[0]
     pick_prob = 1.0 / light_count
 
@@ -460,14 +477,15 @@ def direct_illumination(
         (u3[:, 0] * light_count).astype(jnp.int32), light_count - 1
     )
     ill = light_ops.illuminate(
-        scene.lights, light_id, scene.scene_sphere, hit_point, u3[:, 1:3]
+        scene.lights, light_id, scene.scene_sphere, hit_point,
+        u3[:, 1], u3[:, 2],
     )
-    ok = jnp.max(ill.radiance, axis=-1) > 0.0
+    ok = max_gt_zero(ill.radiance)
 
     factor, cos_to_light, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
         scene.materials, b, ill.dir_to_light
     )
-    ok = ok & (jnp.max(factor, axis=-1) > 0.0)
+    ok = ok & max_gt_zero(factor)
 
     cont = b.cont_prob
     light_is_delta = scene.lights.is_delta[
@@ -488,44 +506,44 @@ def direct_illumination(
     )
     mis_weight = 1.0 / (w_light + 1.0 + w_camera)
 
-    contrib = (
-        mis_weight * cos_to_light * _safe_div(1.0, pick_prob * ill.direct_pdf_w)
-    )[:, None] * (ill.radiance * factor)
+    contrib = (ill.radiance * factor) * (
+        mis_weight * cos_to_light * _safe_div(
+            1.0, pick_prob * ill.direct_pdf_w
+        )
+    )
 
-    ok = ok & (jnp.max(contrib, axis=-1) > 0.0)
+    ok = ok & max_gt_zero(contrib)
     shadowed = occluded(scene, hit_point, ill.dir_to_light, ill.distance)
-    return jnp.where((ok & ~shadowed)[:, None], contrib, 0.0)
+    return v3_where(ok & ~shadowed, contrib, 0.0)
 
 
 def connect_vertices(
-    scene: SceneData, misc: VcmMisc, cam_state: SubPathState, cam_hit_point,
-    cam_b: bsdf_ops.BsdfState, lv_pos, lv_in_dir, lv_normal, lv_mat,
-    lv_d_vcm, lv_d_vc, lv_valid,
-):
-    """ConnectVertices (vertexcm.hxx:743-809): contribution [N,3] (no
-    throughputs; caller multiplies by camera+light throughputs)."""
-    direction_raw = lv_pos - cam_hit_point
+    scene: SceneData, misc: VcmMisc, cam_state: SubPathState, cam_hit: V3,
+    cam_b: bsdf_ops.BsdfState, lv_pos: V3, lv_in_dir: V3, lv_normal: V3,
+    lv_mat, lv_d_vcm, lv_d_vc, lv_valid,
+) -> V3:
+    """ConnectVertices (vertexcm.hxx:743-809): contribution (without the
+    camera/light throughputs, which the caller multiplies)."""
+    direction_raw = lv_pos - cam_hit
     dist2 = jnp.maximum(len_sqr(direction_raw), 1e-30)
     distance = jnp.sqrt(dist2)
-    direction = direction_raw / distance[:, None]
+    direction = direction_raw * (1.0 / distance)
 
     cam_factor, cos_camera, cam_dir_pdf_w, cam_rev_pdf_w = bsdf_ops.evaluate(
         scene.materials, cam_b, direction
     )
-    ok = jnp.max(cam_factor, axis=-1) > 0.0
+    ok = max_gt_zero(cam_factor)
 
     cam_cont = cam_b.cont_prob
     cam_dir_pdf_w = cam_dir_pdf_w * cam_cont
     cam_rev_pdf_w = cam_rev_pdf_w * cam_cont
 
     # Reconstruct the light vertex BSDF (deterministic Setup re-run).
-    lb = bsdf_ops.setup(
-        scene.materials, lv_in_dir, lv_normal, lv_mat, lv_valid
-    )
+    lb = bsdf_ops.setup(scene.materials, lv_in_dir, lv_normal, lv_mat, lv_valid)
     light_factor, cos_light, light_dir_pdf_w, light_rev_pdf_w = (
         bsdf_ops.evaluate(scene.materials, lb, -direction)
     )
-    ok = ok & (jnp.max(light_factor, axis=-1) > 0.0)
+    ok = ok & max_gt_zero(light_factor)
 
     light_cont = lb.cont_prob
     light_dir_pdf_w = light_dir_pdf_w * light_cont
@@ -542,91 +560,129 @@ def connect_vertices(
         misc.mis_vm_weight + lv_d_vcm + lv_d_vc * _mis(light_rev_pdf_w)
     )
     w_camera = _mis(light_dir_pdf_a) * (
-        misc.mis_vm_weight + cam_state.d_vcm + cam_state.d_vc * _mis(cam_rev_pdf_w)
+        misc.mis_vm_weight + cam_state.d_vcm
+        + cam_state.d_vc * _mis(cam_rev_pdf_w)
     )
     mis_weight = 1.0 / (w_light + 1.0 + w_camera)
 
-    contrib = (mis_weight * geometry_term)[:, None] * cam_factor * light_factor
-    ok = ok & (jnp.max(contrib, axis=-1) > 0.0) & lv_valid
-    shadowed = occluded(scene, cam_hit_point, direction, distance)
-    return jnp.where((ok & ~shadowed)[:, None], contrib, 0.0)
+    contrib = cam_factor * light_factor * (mis_weight * geometry_term)
+    ok = ok & max_gt_zero(contrib) & lv_valid
+    shadowed = occluded(scene, cam_hit, direction, distance)
+    return v3_where(ok & ~shadowed, contrib, 0.0)
 
 
-def merge_vertices(
-    scene: SceneData, misc: VcmMisc, cam_state: SubPathState, cam_hit_point,
-    cam_b: bsdf_ops.BsdfState, flat_verts, grid, num_cells: int, k: int,
-    cam_path_length, max_path_length: int, min_path_length: int, ppm: bool,
+# ---------------------------------------------------------------------------
+# Deferred merge stage
+# ---------------------------------------------------------------------------
+
+
+def merge_stage(
+    scene: SceneData, misc: VcmMisc, queries: StoredVertices,
+    light_verts: StoredVertices, num_cells: int, pair_cap: int, ppm: bool,
+    max_path_length: int, min_path_length: int,
 ):
-    """Vertex merging via hashgrid range query (RangeQuery::Process,
-    vertexcm.hxx:130-169). Returns summed contribution [N,3]."""
-    (fv_pos, fv_thr, fv_wfix, fv_dvcm, fv_dvm, fv_cont, fv_len, fv_valid) = (
-        flat_verts
+    """Vertex merging over all recorded camera queries in one pass.
+
+    Implements RangeQuery::Process (vertexcm.hxx:130-169): for every camera
+    vertex, every light vertex within the merge radius contributes
+    mis * f_s(camera, photon_dir) * photon_throughput, summed and scaled by
+    vm_normalization * camera_throughput.
+
+    Returns ([Lq*N] V3 contributions (already x camera throughput and
+    normalization), overflow_pairs scalar).
+    """
+    lq, n = queries.valid.shape
+    ll, n_ph = light_verts.valid.shape  # n_ph may exceed n (all-gathered)
+    q = lq * n
+    m = ll * n_ph
+
+    flat = lambda a: a.reshape((-1,))
+    flatv = lambda v: V3(flat(v.x), flat(v.y), flat(v.z))
+
+    ph_pos = flatv(light_verts.position)
+    ph_valid = flat(light_verts.valid)
+    ph_len = jnp.broadcast_to(
+        jnp.arange(1, ll + 1, dtype=jnp.int32)[:, None], (ll, n_ph)
+    ).reshape(-1)
+
+    grid = grid_ops.build(ph_pos, ph_valid, misc.radius, num_cells)
+
+    q_pos = flatv(queries.position)
+    q_valid = flat(queries.valid)
+    starts, counts = grid_ops.query_cell_ranges(grid, num_cells, q_pos)
+    counts = counts * q_valid[:, None].astype(counts.dtype)
+
+    qc_idx, photon_pos, pair_ok, total_pairs, overflow = grid_ops.expand_pairs(
+        starts, counts, pair_cap
     )
-    idx_all, mask_all = grid_ops.query_candidates(
-        grid, num_cells, cam_hit_point, k
+    q_idx = qc_idx // 8  # flattened query id per pair
+
+    ph_sorted = grid.sorted_idx[jnp.minimum(photon_pos, m - 1)]
+    pair_ok = pair_ok & (photon_pos < m)
+
+    # Distance filter (exact; hash collisions and the 2x2x2 superset only
+    # add candidates that fail here).
+    pp = ph_pos[ph_sorted]
+    qp = q_pos[q_idx]
+    pair_ok = pair_ok & (len_sqr(pp - qp) <= misc.radius_sqr) & \
+        ph_valid[ph_sorted]
+
+    # Path length window (vertexcm.hxx:132-135).
+    q_len = jnp.broadcast_to(
+        jnp.arange(1, lq + 1, dtype=jnp.int32)[:, None], (lq, n)
+    ).reshape(-1)
+    total_len = ph_len[ph_sorted] + q_len[q_idx]
+    pair_ok = pair_ok & (total_len <= max_path_length) & \
+        (total_len >= min_path_length)
+
+    # Gather per-pair camera + photon records and evaluate the merge math.
+    g = lambda a, i: a[i]
+    gv = lambda v, i: V3(v.x[i], v.y[i], v.z[i])
+
+    cam_in = gv(flatv(queries.in_dir), q_idx)
+    cam_nrm = gv(flatv(queries.normal), q_idx)
+    cam_mat = g(flat(queries.mat_id), q_idx)
+    cam_b = bsdf_ops.setup(scene.materials, cam_in, cam_nrm, cam_mat, pair_ok)
+
+    ph_in = gv(flatv(light_verts.in_dir), ph_sorted)
+    ph_nrm = gv(flatv(light_verts.normal), ph_sorted)
+    ph_mat = g(flat(light_verts.mat_id), ph_sorted)
+    # Light-vertex continuation probability: reconstruct its BSDF setup.
+    ph_b = bsdf_ops.setup(scene.materials, ph_in, ph_nrm, ph_mat, pair_ok)
+
+    light_dir = -ph_in  # the photon's WorldDirFix
+    factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
+        scene.materials, cam_b, light_dir
     )
-    nq, nc = idx_all.shape
+    pair_ok = pair_ok & max_gt_zero(factor)
 
-    # Process candidates in chunks along the candidate axis: the HBM cost of
-    # a full [N, 8k, ...] gather at 512x512 is tens of GB, while per-chunk
-    # temporaries stay ~100 MB and XLA pipelines the sequential chunks.
-    chunk = 16
-    n_chunks = (nc + chunk - 1) // chunk
-    pad = n_chunks * chunk - nc
-    if pad:
-        idx_all = jnp.pad(idx_all, ((0, 0), (0, pad)))
-        mask_all = jnp.pad(mask_all, ((0, 0), (0, pad)))
+    dir_pdf_w = dir_pdf_w * cam_b.cont_prob
+    rev_pdf_w = rev_pdf_w * ph_b.cont_prob
 
-    cam_bc = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(
-            a[:, None] if a.ndim == 1 else a[:, None, :],
-            (nq, chunk) + a.shape[1:],
-        ),
-        cam_b,
+    # [tech. rep. (38)-(39)]
+    w_light = g(flat(light_verts.d_vcm), ph_sorted) * misc.mis_vc_weight + \
+        g(flat(light_verts.d_vm), ph_sorted) * _mis(dir_pdf_w)
+    w_camera = g(flat(queries.d_vcm), q_idx) * misc.mis_vc_weight + \
+        g(flat(queries.d_vm), q_idx) * _mis(rev_pdf_w)
+    if ppm:
+        mis_weight = jnp.ones_like(w_light)
+    else:
+        mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+
+    ph_thr = gv(flatv(light_verts.throughput), ph_sorted)
+    contrib = factor * ph_thr * mis_weight
+    contrib = v3_where(pair_ok, contrib, 0.0)
+
+    # Scatter-add back to the owning query, then scale by the camera
+    # throughput and the vm normalization.
+    zeros = jnp.zeros((q,), jnp.float32)
+    acc = V3(
+        zeros.at[q_idx].add(contrib.x, mode="drop"),
+        zeros.at[q_idx].add(contrib.y, mode="drop"),
+        zeros.at[q_idx].add(contrib.z, mode="drop"),
     )
-
-    def do_chunk(c, acc):
-        idx = jax.lax.dynamic_slice_in_dim(idx_all, c * chunk, chunk, axis=1)
-        mask = jax.lax.dynamic_slice_in_dim(mask_all, c * chunk, chunk, axis=1)
-
-        p = fv_pos[idx]          # [N, chunk, 3]
-        within = len_sqr(p - cam_hit_point[:, None, :]) <= misc.radius_sqr
-        mask = mask & within & fv_valid[idx]
-
-        total_len = fv_len[idx] + cam_path_length
-        mask = (
-            mask & (total_len <= max_path_length)
-            & (total_len >= min_path_length)
-        )
-
-        light_dir = fv_wfix[idx]
-        factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
-            scene.materials, cam_bc, light_dir
-        )
-        mask = mask & (jnp.max(factor, axis=-1) > 0.0)
-
-        dir_pdf_w = dir_pdf_w * cam_b.cont_prob[:, None]
-        rev_pdf_w = rev_pdf_w * fv_cont[idx]
-
-        # [tech. rep. (38)-(39)]
-        w_light = (
-            fv_dvcm[idx] * misc.mis_vc_weight + fv_dvm[idx] * _mis(dir_pdf_w)
-        )
-        w_camera = (
-            cam_state.d_vcm[:, None] * misc.mis_vc_weight
-            + cam_state.d_vm[:, None] * _mis(rev_pdf_w)
-        )
-        if ppm:
-            mis_weight = jnp.ones_like(w_light)
-        else:
-            mis_weight = 1.0 / (w_light + 1.0 + w_camera)
-
-        contrib = mis_weight[..., None] * factor * fv_thr[idx]
-        contrib = jnp.where(mask[..., None], contrib, 0.0)
-        return acc + jnp.sum(contrib, axis=1)
-
-    acc = jnp.zeros((nq, 3), jnp.float32)
-    return jax.lax.fori_loop(0, n_chunks, do_chunk, acc)
+    q_thr = flatv(queries.throughput)
+    return q_thr * acc * misc.vm_normalization, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -650,19 +706,18 @@ def render_iteration_core(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    merge_k: int = 32,
+    pair_factor: int = 24,
     axis_name: str | None = None,
-) -> jnp.ndarray:
+):
     """One VCM-family iteration over the given (possibly sharded) path ids.
 
-    ``pix`` holds *global* path/pixel indices — the RNG streams and the
-    camera-pixel mapping depend only on them, so any partition of
+    ``pix`` holds *global* path/pixel indices — RNG streams and the camera
+    pixel mapping depend only on them, so any partition of
     ``arange(n_paths_global)`` over devices reproduces the single-device
     image exactly. With ``axis_name`` set (inside shard_map), light vertices
-    are all-gathered for merging (the only cross-shard data dependency:
-    camera path i connects only to light path i, which lives on the same
-    shard, but merging needs every photon). MIS constants always use the
-    *global* light path count (vertexcm.hxx:303-308).
+    are all-gathered for merging (the only cross-shard data dependency).
+    MIS constants always use the *global* light path count
+    (vertexcm.hxx:303-308). Returns (fb V3 planes -> array, ray_count).
     """
     n = pix.shape[0]
     misc = compute_misc(
@@ -670,82 +725,58 @@ def render_iteration_core(
         use_vc, use_vm,
     )
 
-    fb = jnp.zeros((res_y, res_x, 3), jnp.float32)
+    fb = new_fb_planes(res_x, res_y)
 
     # ---- Stage 1: light sub-paths.
-    verts, fb, light_rays = trace_light_paths(
+    verts, fb, ray_count = trace_light_paths(
         scene, misc, pix, iteration, fb, base_seed, max_path_length,
         min_path_length, use_vc, use_vm, light_trace_only,
     )
-    ray_count = light_rays
 
     if light_trace_only:
+        out = fb.to_array()
         if axis_name is not None:
-            fb = jax.lax.psum(fb, axis_name)
+            out = jax.lax.psum(out, axis_name)
             ray_count = jax.lax.psum(ray_count, axis_name)
-        return fb, ray_count
+        return out, ray_count
 
-    # ---- Stage 2: hashgrid over light vertices (merging only).
-    max_l = verts.valid.shape[0]
-    num_cells = n_paths_global  # vertexcm.hxx:405-407
-    if use_vm:
-        flat = lambda a: a.reshape((max_l * n,) + a.shape[2:])
-        fv_pos = flat(verts.position)
-        fv_valid = flat(verts.valid)
-        fv_thr = flat(verts.throughput)
-        fv_wfix = -flat(verts.in_dir)
-        fv_dvcm = flat(verts.d_vcm)
-        fv_dvm = flat(verts.d_vm)
-        # Per-vertex continuation prob for the merge MIS (reconstructed
-        # deterministically from the stored incoming dir / normal / mat).
-        lb = bsdf_ops.setup(
-            scene.materials, flat(verts.in_dir), flat(verts.normal),
-            flat(verts.mat_id), fv_valid,
-        )
-        fv_cont = lb.cont_prob
-        fv_len = (
-            jnp.broadcast_to(
-                jnp.arange(1, max_l + 1, dtype=jnp.int32)[:, None], (max_l, n)
-            ).reshape(-1)
-        )
-        if axis_name is not None:
-            # Cross-shard photon exchange: gather every shard's vertices so
-            # local camera vertices can merge against the global photon map
-            # (the reference reads them from shared memory,
-            # vertexcm.hxx:530-538).
-            ag = lambda a: jax.lax.all_gather(a, axis_name, tiled=True)
-            fv_pos, fv_thr, fv_wfix = ag(fv_pos), ag(fv_thr), ag(fv_wfix)
-            fv_dvcm, fv_dvm, fv_cont = ag(fv_dvcm), ag(fv_dvm), ag(fv_cont)
-            fv_len, fv_valid = ag(fv_len), ag(fv_valid)
-        grid = grid_ops.build(fv_pos, fv_valid, misc.radius, num_cells)
-        flat_verts = (
-            fv_pos, fv_thr, fv_wfix, fv_dvcm, fv_dvm, fv_cont, fv_len,
-            fv_valid,
+    if use_vm and axis_name is not None:
+        # Cross-shard photon exchange: gather every shard's vertices so local
+        # camera vertices merge against the global photon map (the reference
+        # reads them from shared memory, vertexcm.hxx:530-538).
+        ag = lambda a: jax.lax.all_gather(a, axis_name, axis=1, tiled=True)
+        agv = lambda v: V3(ag(v.x), ag(v.y), ag(v.z))
+        light_verts_global = StoredVertices(
+            position=agv(verts.position), throughput=agv(verts.throughput),
+            in_dir=agv(verts.in_dir), normal=agv(verts.normal),
+            mat_id=ag(verts.mat_id), d_vcm=ag(verts.d_vcm),
+            d_vc=ag(verts.d_vc), d_vm=ag(verts.d_vm), valid=ag(verts.valid),
         )
     else:
-        grid = None
-        flat_verts = None
+        light_verts_global = verts
 
-    # ---- Stage 3: camera sub-paths.
-    sample, state = generate_camera_sample(
+    # ---- Stage 2: camera sub-paths (+ query recording for merging).
+    sx, sy, state = generate_camera_sample(
         scene, misc, pix, res_x, iteration, base_seed
     )
-    color = jnp.zeros((n, 3), jnp.float32)
+    zerov = V3(*(jnp.zeros((n,), jnp.float32),) * 3)
+    color = zerov
     has_background = scene.background_idx >= 0
+    max_l = verts.valid.shape[0]
+    queries = _empty_vertices(max_path_length, n) if use_vm else None
 
     def bounce(i, carry):
-        state, color, rays = carry
+        state, color, queries, rays = carry
         path_length = i + 1
 
         rays = rays + jnp.sum(state.alive.astype(jnp.int32))
         org = state.origin + state.direction * EPS_RAY
         hit = intersect(scene, org, state.direction)
         dist_safe = jnp.where(hit.hit, hit.dist, 1.0)
-        hit_point = org + state.direction * dist_safe[:, None]
+        hit_point = org + state.direction * dist_safe
         isect_dist = dist_safe + EPS_RAY
 
-        # Miss -> background radiance, using PRE-update MIS quantities
-        # (vertexcm.hxx:434-447).
+        # Miss -> background radiance, PRE-update MIS (vertexcm.hxx:434-447).
         if has_background:
             bg_contrib = get_light_radiance_weighted(
                 scene, state,
@@ -754,12 +785,8 @@ def render_iteration_core(
                 jnp.full((n,), path_length, jnp.int32),
                 use_vc, use_vm,
             )
-            take_bg = (
-                state.alive & ~hit.hit & (path_length >= min_path_length)
-            )
-            color = color + jnp.where(
-                take_bg[:, None], state.throughput * bg_contrib, 0.0
-            )
+            take_bg = state.alive & ~hit.hit & (path_length >= min_path_length)
+            color = color + v3_where(take_bg, state.throughput * bg_contrib, 0.0)
 
         alive = state.alive & hit.hit
         b = bsdf_ops.setup(
@@ -767,8 +794,7 @@ def render_iteration_core(
         )
         alive = alive & b.valid
 
-        # MIS update (vertexcm.hxx:459-464), masked by alive (see light
-        # stage: dead-lane dist^2 overflows).
+        # MIS update (vertexcm.hxx:459-464), masked by alive.
         abs_cos = jnp.abs(b.cos_theta_fix())
         inv_cos = _safe_div(1.0, _mis(abs_cos))
         state = state._replace(
@@ -787,8 +813,8 @@ def render_iteration_core(
             jnp.full((n,), path_length, jnp.int32), use_vc, use_vm,
         )
         take_light = hit_light & (path_length >= min_path_length)
-        color = color + jnp.where(
-            take_light[:, None], state.throughput * light_contrib, 0.0
+        color = color + v3_where(
+            take_light, state.throughput * light_contrib, 0.0
         )
         alive = alive & ~hit_light
 
@@ -805,29 +831,29 @@ def render_iteration_core(
             )
             nee = direct_illumination(scene, misc, state, hit_point, b, u3)
             nee_on = alive & ~b.is_delta & (path_length + 1 >= min_path_length)
-            color = color + jnp.where(
-                nee_on[:, None], state.throughput * nee, 0.0
-            )
-            rays = rays + jnp.sum(nee_on.astype(jnp.int32))  # shadow rays
+            color = color + v3_where(nee_on, state.throughput * nee, 0.0)
+            rays = rays + jnp.sum(nee_on.astype(jnp.int32))
 
         # VC: connect to this path's light vertices (vertexcm.hxx:498-526).
         if use_vc:
-            def connect_slot(j, carry):
-                color, rays = carry
+            def connect_slot(j, cc):
+                color, rays = cc
                 lv_len = j + 1
                 full_len = lv_len + 1 + path_length
                 in_range = (full_len >= min_path_length) & (
                     full_len <= max_path_length
                 )
+                getv = lambda v: V3(v.x[j], v.y[j], v.z[j])
                 lv_valid = verts.valid[j] & alive & ~b.is_delta & in_range
                 c = connect_vertices(
                     scene, misc, state, hit_point, b,
-                    verts.position[j], verts.in_dir[j], verts.normal[j],
-                    verts.mat_id[j], verts.d_vcm[j], verts.d_vc[j], lv_valid,
+                    getv(verts.position), getv(verts.in_dir),
+                    getv(verts.normal), verts.mat_id[j],
+                    verts.d_vcm[j], verts.d_vc[j], lv_valid,
                 )
-                color = color + jnp.where(
-                    lv_valid[:, None],
-                    state.throughput * verts.throughput[j] * c,
+                color = color + v3_where(
+                    lv_valid,
+                    state.throughput * getv(verts.throughput) * c,
                     0.0,
                 )
                 rays = rays + jnp.sum(lv_valid.astype(jnp.int32))
@@ -837,49 +863,66 @@ def render_iteration_core(
                 0, max_l, connect_slot, (color, rays)
             )
 
-        # VM: merge with light vertices (vertexcm.hxx:530-538).
+        # VM: record a merge query at this vertex (processed in the deferred
+        # merge stage — merging is additive and walk-independent).
         if use_vm:
             merge_on = alive & ~b.is_delta
-            mc = merge_vertices(
-                scene, misc, state, hit_point, b, flat_verts, grid, num_cells,
-                merge_k, path_length, max_path_length, min_path_length, ppm,
-            )
-            color = color + jnp.where(
-                merge_on[:, None],
-                state.throughput * misc.vm_normalization * mc,
-                0.0,
+            queries = _store_slot(
+                queries, i,
+                position=hit_point, throughput=state.throughput,
+                in_dir=state.direction, normal=hit.normal,
+                mat_id=hit.mat_id, d_vcm=state.d_vcm, d_vc=state.d_vc,
+                d_vm=state.d_vm, valid=merge_on,
             )
             if ppm:  # PPM ends the camera path at the first non-delta hit
                 state = state._replace(alive=alive & b.is_delta)
 
-        u4 = rng.uniform_slots(
+        u = rng.uniform_slots(
             base_seed,
             rng.make_stream(iteration, rng.STAGE_CAMERA_WALK, i),
             pix, 4,
         )
         state = sample_scattering(
-            scene, misc, state, hit_point, b, u4, fix_is_light=False
+            scene, misc, state, hit_point, b, u, fix_is_light=False
         )
-        return state, color, rays
+        return state, color, queries, rays
 
-    state, color, cam_rays = jax.lax.fori_loop(
-        0, max_path_length, bounce, (state, color, jnp.zeros((), jnp.int32))
+    state, color, queries, cam_rays = jax.lax.fori_loop(
+        0, max_path_length, bounce,
+        (state, color, queries, jnp.zeros((), jnp.int32)),
     )
     ray_count = ray_count + cam_rays
-    fb = add_color(fb, sample, color)
+
+    # ---- Stage 3: deferred merging.
+    if use_vm:
+        num_cells = 2 * n_paths_global  # perf knob only; results exact
+        pair_cap = pair_factor * n
+        mc, _overflow = merge_stage(
+            scene, misc, queries, light_verts_global, num_cells, pair_cap,
+            ppm, max_path_length, min_path_length,
+        )
+        # Sum each path's per-bounce merge contributions into its color.
+        mc2 = mc.reshape((max_path_length, n))
+        color = color + V3(
+            jnp.sum(mc2.x, axis=0), jnp.sum(mc2.y, axis=0),
+            jnp.sum(mc2.z, axis=0),
+        )
+
+    fb = add_color(fb, sx, sy, color)
+    out = fb.to_array()
     if axis_name is not None:
-        fb = jax.lax.psum(fb, axis_name)
+        out = jax.lax.psum(out, axis_name)
         ray_count = jax.lax.psum(ray_count, axis_name)
-    return fb, ray_count
+    return out, ray_count
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
-        "use_vc", "use_vm", "light_trace_only", "ppm", "merge_k",
-    ),
+_STATIC = (
+    "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
+    "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
 )
+
+
+@partial(jax.jit, static_argnames=_STATIC)
 def render_iteration(
     scene: SceneData,
     iteration,
@@ -894,7 +937,7 @@ def render_iteration(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    merge_k: int = 32,
+    pair_factor: int = 24,
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -902,18 +945,12 @@ def render_iteration(
     fb, _ = render_iteration_core(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
-        use_vc, use_vm, light_trace_only, ppm, merge_k, axis_name=None,
+        use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=None,
     )
     return fb
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
-        "use_vc", "use_vm", "light_trace_only", "ppm", "merge_k",
-    ),
-)
+@partial(jax.jit, static_argnames=_STATIC)
 def render_iteration_with_stats(
     scene: SceneData,
     iteration,
@@ -928,14 +965,15 @@ def render_iteration_with_stats(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    merge_k: int = 32,
+    pair_factor: int = 24,
 ):
     """Like render_iteration but also returns the traced-ray count (path
-    segments + shadow/occlusion rays, the reference-comparable work metric)."""
+    segments + shadow/occlusion rays — the reference-comparable work
+    metric)."""
     n = res_x * res_y
     pix = jnp.arange(n, dtype=jnp.uint32)
     return render_iteration_core(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
-        use_vc, use_vm, light_trace_only, ppm, merge_k, axis_name=None,
+        use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=None,
     )

@@ -21,18 +21,19 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .core.vec3 import V3
 from .scene.scene import Materials, SceneData
 
 
 class Params(NamedTuple):
-    """Differentiable scene parameters."""
+    """Differentiable scene parameters (V3 = component-planar color)."""
 
-    diffuse: jnp.ndarray          # [M,3]
-    phong: jnp.ndarray            # [M,3]
+    diffuse: V3                   # V3 of [M]
+    phong: V3                     # V3 of [M]
     exponent: jnp.ndarray         # [M]
-    mirror: jnp.ndarray           # [M,3]
+    mirror: V3                    # V3 of [M]
     ior: jnp.ndarray              # [M]
-    light_intensity: jnp.ndarray  # [L,3]
+    light_intensity: V3           # V3 of [L]
 
 
 def extract_params(scene: SceneData) -> Params:
@@ -63,7 +64,7 @@ def apply_params(scene: SceneData, params: Params) -> SceneData:
     jax.jit,
     static_argnames=(
         "algorithm", "res_x", "res_y", "base_seed", "max_path_length",
-        "min_path_length", "merge_k",
+        "min_path_length", "pair_factor",
     ),
 )
 def render_params(
@@ -78,7 +79,7 @@ def render_params(
     min_path_length: int = 0,
     radius_factor: float = 0.003,
     radius_alpha: float = 0.75,
-    merge_k: int = 32,
+    pair_factor: int = 24,
 ) -> jnp.ndarray:
     """One iteration of the given algorithm with params substituted."""
     from .algorithms import pathtracer, vcm
@@ -95,7 +96,7 @@ def render_params(
         s, iteration, res_x, res_y, base_seed, max_path_length,
         min_path_length, radius_factor, radius_alpha,
         use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
-        merge_k=merge_k,
+        pair_factor=pair_factor,
     )
 
 

@@ -20,26 +20,41 @@ def new_framebuffer(res_x: int, res_y: int) -> jnp.ndarray:
     return jnp.zeros((res_y, res_x, 3), jnp.float32)
 
 
-def add_color(fb: jnp.ndarray, sample_xy: jnp.ndarray, color: jnp.ndarray):
+def add_color(fb, sx, sy, color):
     """Batched AddColor: floor the raster position, drop out-of-bounds.
 
-    sample_xy [N,2] float raster coords, color [N,3].
-    Negative coords must drop (not round toward zero onto pixel 0), so we
-    pre-mask them before the int cast.
+    fb is a V3 of [resY, resX] color planes (full-lane scatter-adds);
+    sx/sy are float raster coords [N], color a V3 of [N]. Negative coords
+    must drop (not round toward zero onto pixel 0), so they are pre-masked
+    before the int cast.
     """
-    x = jnp.floor(sample_xy[..., 0]).astype(jnp.int32)
-    y = jnp.floor(sample_xy[..., 1]).astype(jnp.int32)
-    oob = (sample_xy[..., 0] < 0) | (sample_xy[..., 1] < 0)
+    from ..core.vec3 import V3
+
+    x = jnp.floor(sx).astype(jnp.int32)
+    y = jnp.floor(sy).astype(jnp.int32)
+    oob = (sx < 0) | (sy < 0)
     x = jnp.where(oob, jnp.int32(-1), x)
     y = jnp.where(oob, jnp.int32(-1), y)
-    return fb.at[y, x].add(color, mode="drop")
+    return V3(
+        fb.x.at[y, x].add(color.x, mode="drop"),
+        fb.y.at[y, x].add(color.y, mode="drop"),
+        fb.z.at[y, x].add(color.z, mode="drop"),
+    )
+
+
+def new_fb_planes(res_x: int, res_y: int):
+    """Device-side accumulation planes (V3 of [resY, resX])."""
+    from ..core.vec3 import V3
+
+    z = jnp.zeros((res_y, res_x), jnp.float32)
+    return V3(z, z, z)
 
 
 def total_luminance(fb: jnp.ndarray) -> jnp.ndarray:
-    """framebuffer.hxx:89-102."""
-    from ..core.vecmath import luminance
-
-    return jnp.sum(luminance(fb))
+    """framebuffer.hxx:89-102 (fb = [resY, resX, 3] array)."""
+    return jnp.sum(
+        0.212671 * fb[..., 0] + 0.715160 * fb[..., 1] + 0.072169 * fb[..., 2]
+    )
 
 
 def _np(fb) -> np.ndarray:

@@ -1,16 +1,26 @@
-"""Fixed-radius neighbor search as a sorted-cell gather (photon merging).
+"""Fixed-radius neighbor search: cell-sorted photon index + pair expansion.
 
 The reference HashGrid (hashgrid.hxx:32-214) counting-sorts particle indices
-into per-cell CSR ranges, then probes the 2x2x2 cell neighborhood nearest the
-query point. The TPU re-design keeps the exact same spatial hashing and
-8-cell probe but builds the CSR with a device sort + searchsorted, and the
-query becomes a fixed-K padded gather per cell so the whole range query is
-one dense, branch-free computation.
+into per-cell CSR ranges and probes the 2x2x2 cell neighborhood nearest each
+query (hashgrid.hxx:124-138). This TPU re-design keeps those exact semantics
+but maps each step to what the hardware does well:
 
-K (max particles visited per cell) must be >= the maximum cell occupancy for
-exact parity with the reference (which visits *all* in-radius photons);
-``build`` returns the actual max occupancy so callers can size K (rounded to
-a power of two to bound recompilation).
+* build: TPU key-value sorts are pathological (measured 30 s for 2.4 M
+  argsort vs 79 ms keys-only). We run a stable LSD radix argsort out of
+  keys-only sorts: each pass packs (digit, running-position) into one uint32,
+  sorts it, and recovers the permutation — two passes cover an 18-20 bit
+  hash with 22 index bits. CSR offsets come from a scatter-add histogram +
+  cumsum (no searchsorted).
+
+* query: instead of padding every probed cell to the max occupancy (gathers
+  scale with 8*k_max and TPU gathers cost ~30 ns/element), callers expand
+  exact (query, photon) candidate pairs with
+  :func:`expand_pairs` — work scales with the *actual* number of candidates.
+
+More cells than the reference's pixel-count choice (vertexcm.hxx:405-407)
+are used by default: the cell count only affects hash-collision rate, never
+results (candidates are always distance-filtered), and collisions directly
+cost gather traffic here.
 """
 
 from __future__ import annotations
@@ -21,100 +31,164 @@ import jax
 import jax.numpy as jnp
 
 
+def _ceil_log2(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+def stable_radix_argsort(keys, total_bits: int):
+    """Argsort of uint32 ``keys`` (values < 2**total_bits) via keys-only
+    sorts. Returns the permutation (uint32 [M]); stable."""
+    m = keys.shape[0]
+    idx_bits = _ceil_log2(m)
+    bpp = 32 - idx_bits
+    assert bpp >= 1, "batch too large for packed radix"
+    iota = jnp.arange(m, dtype=jnp.uint32)
+    idx_mask = jnp.uint32((1 << idx_bits) - 1)
+
+    order = iota
+    shift = 0
+    while shift < total_bits:
+        k = keys[order] if shift else keys
+        digit = (k >> jnp.uint32(shift)) & jnp.uint32((1 << bpp) - 1)
+        packed = (digit << jnp.uint32(idx_bits)) | iota
+        pos = jnp.sort(packed) & idx_mask
+        order = order[pos]
+        shift += bpp
+    return order
+
+
 class HashGrid(NamedTuple):
-    bbox_min: jnp.ndarray      # [3]
-    bbox_max: jnp.ndarray      # [3]
-    inv_cell_size: jnp.ndarray  # scalar
+    bbox_min_x: jnp.ndarray
+    bbox_min_y: jnp.ndarray
+    bbox_min_z: jnp.ndarray
+    bbox_max_x: jnp.ndarray
+    bbox_max_y: jnp.ndarray
+    bbox_max_z: jnp.ndarray
+    inv_cell_size: jnp.ndarray
     sorted_idx: jnp.ndarray    # [M] particle index ordered by cell hash
     cell_start: jnp.ndarray    # [C]
-    cell_end: jnp.ndarray      # [C]
-    max_occupancy: jnp.ndarray  # scalar int32 (diagnostic / K sizing)
+    cell_count: jnp.ndarray    # [C]
+    max_occupancy: jnp.ndarray  # scalar int32 (diagnostic)
 
 
 def _hash_cell(cx, cy, cz, num_cells: int):
-    """Spatial hash, identical constants to hashgrid.hxx:179-187."""
+    """Spatial hash, same constants as hashgrid.hxx:179-187."""
     ux = cx.astype(jnp.uint32) * jnp.uint32(73856093)
     uy = cy.astype(jnp.uint32) * jnp.uint32(19349663)
     uz = cz.astype(jnp.uint32) * jnp.uint32(83492791)
     return ((ux ^ uy ^ uz) % jnp.uint32(num_cells)).astype(jnp.int32)
 
 
-def build(positions, valid, radius, num_cells: int) -> HashGrid:
-    """Build the grid over [M,3] positions with validity mask.
-
-    Invalid particles sort to a sentinel cell past the end and are never
-    returned by queries. Cell size is 2*radius (hashgrid.hxx:64).
-    """
-    m = positions.shape[0]
-    # bbox over valid particles (hashgrid.hxx:50-61)
+def build(pos, valid, radius, num_cells: int) -> HashGrid:
+    """Build over V3-of-[M] positions with validity mask. Cell = 2*radius
+    (hashgrid.hxx:64); invalid particles land in a sentinel cell."""
     big = jnp.float32(1e36)
-    pmin = jnp.min(jnp.where(valid[:, None], positions, big), axis=0)
-    pmax = jnp.max(jnp.where(valid[:, None], positions, -big), axis=0)
+    vmin = lambda a: jnp.min(jnp.where(valid, a, big))
+    vmax = lambda a: jnp.max(jnp.where(valid, a, -big))
+    mnx, mny, mnz = vmin(pos.x), vmin(pos.y), vmin(pos.z)
+    mxx, mxy, mxz = vmax(pos.x), vmax(pos.y), vmax(pos.z)
 
-    cell_size = radius * 2.0
-    inv_cell = 1.0 / cell_size
+    inv_cell = 1.0 / (radius * 2.0)
+    cx = jnp.floor((pos.x - mnx) * inv_cell).astype(jnp.int32)
+    cy = jnp.floor((pos.y - mny) * inv_cell).astype(jnp.int32)
+    cz = jnp.floor((pos.z - mnz) * inv_cell).astype(jnp.int32)
+    h = _hash_cell(cx, cy, cz, num_cells)
+    h = jnp.where(valid, h, jnp.int32(num_cells))  # sentinel
 
-    rel = (positions - pmin) * inv_cell
-    c = jnp.floor(rel).astype(jnp.int32)
-    h = _hash_cell(c[:, 0], c[:, 1], c[:, 2], num_cells)
-    h = jnp.where(valid, h, jnp.int32(num_cells))  # sentinel cell
+    total_bits = _ceil_log2(num_cells + 1)
+    order = stable_radix_argsort(h.astype(jnp.uint32), total_bits)
 
-    order = jnp.argsort(h)
-    sorted_h = h[order]
-
-    cells = jnp.arange(num_cells, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_h, cells, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_h, cells, side="right").astype(jnp.int32)
-    max_occ = jnp.max(end - start)
+    counts = jnp.zeros((num_cells,), jnp.int32).at[h].add(
+        1, mode="drop"
+    )
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
 
     return HashGrid(
-        bbox_min=pmin,
-        bbox_max=pmax,
+        bbox_min_x=mnx, bbox_min_y=mny, bbox_min_z=mnz,
+        bbox_max_x=mxx, bbox_max_y=mxy, bbox_max_z=mxz,
         inv_cell_size=jnp.asarray(inv_cell, jnp.float32),
         sorted_idx=order.astype(jnp.int32),
         cell_start=start,
-        cell_end=end,
-        max_occupancy=max_occ.astype(jnp.int32),
+        cell_count=counts,
+        max_occupancy=jnp.max(counts).astype(jnp.int32),
     )
 
 
-def query_candidates(grid: HashGrid, num_cells: int, query_pos, k: int):
-    """Return candidate particle indices near each query point.
+def query_cell_ranges(grid: HashGrid, num_cells: int, qpos):
+    """Per-query (start, count) of the 8 probed cells.
 
-    query_pos [Nq,3] -> (idx [Nq, 8*k] int32, mask [Nq, 8*k] bool).
-    Visits the 2x2x2 neighborhood picked by the fractional cell position
-    (hashgrid.hxx:124-138). Distance filtering is left to the caller (it has
-    the particle positions).
+    qpos: V3 of [Q]. Returns (starts [Q,8] int32, counts [Q,8] int32).
+    Queries outside the particle bbox probe nothing (hashgrid.hxx:116-122).
     """
-    # Reject queries outside the particle bbox (hashgrid.hxx:116-122).
-    in_bbox = jnp.all(
-        (query_pos >= grid.bbox_min) & (query_pos <= grid.bbox_max), axis=-1
+    in_bbox = (
+        (qpos.x >= grid.bbox_min_x) & (qpos.x <= grid.bbox_max_x)
+        & (qpos.y >= grid.bbox_min_y) & (qpos.y <= grid.bbox_max_y)
+        & (qpos.z >= grid.bbox_min_z) & (qpos.z <= grid.bbox_max_z)
     )
+    rel = lambda a, mn: (a - mn) * grid.inv_cell_size
+    rx, ry, rz = (
+        rel(qpos.x, grid.bbox_min_x),
+        rel(qpos.y, grid.bbox_min_y),
+        rel(qpos.z, grid.bbox_min_z),
+    )
+    bx, by, bz = (
+        jnp.floor(rx).astype(jnp.int32),
+        jnp.floor(ry).astype(jnp.int32),
+        jnp.floor(rz).astype(jnp.int32),
+    )
+    sx = jnp.where(rx - jnp.floor(rx) < 0.5, -1, 1).astype(jnp.int32)
+    sy = jnp.where(ry - jnp.floor(ry) < 0.5, -1, 1).astype(jnp.int32)
+    sz = jnp.where(rz - jnp.floor(rz) < 0.5, -1, 1).astype(jnp.int32)
 
-    rel = (query_pos - grid.bbox_min) * grid.inv_cell_size
-    base = jnp.floor(rel).astype(jnp.int32)
-    frac = rel - jnp.floor(rel)
-    step = jnp.where(frac < 0.5, -1, 1).astype(jnp.int32)  # [Nq,3]
-
-    idx_chunks = []
-    mask_chunks = []
-    ks = jnp.arange(k, dtype=jnp.int32)
+    starts = []
+    counts = []
     for bit in range(8):
-        dx = (bit & 1) != 0
-        dy = (bit & 2) != 0
-        dz = (bit & 4) != 0
-        cx = base[:, 0] + jnp.where(dx, step[:, 0], 0)
-        cy = base[:, 1] + jnp.where(dy, step[:, 1], 0)
-        cz = base[:, 2] + jnp.where(dz, step[:, 2], 0)
-        h = _hash_cell(cx, cy, cz, num_cells)
-        start = grid.cell_start[h]        # [Nq]
-        end = grid.cell_end[h]
-        pos = start[:, None] + ks[None, :]  # [Nq,k]
-        ok = (pos < end[:, None]) & in_bbox[:, None]
-        safe_pos = jnp.minimum(pos, grid.sorted_idx.shape[0] - 1)
-        idx_chunks.append(grid.sorted_idx[safe_pos])
-        mask_chunks.append(ok)
-    return (
-        jnp.concatenate(idx_chunks, axis=1),
-        jnp.concatenate(mask_chunks, axis=1),
+        cx = bx + (sx if bit & 1 else 0)
+        cy = by + (sy if bit & 2 else 0)
+        cz = bz + (sz if bit & 4 else 0)
+        hc = _hash_cell(cx, cy, cz, num_cells)
+        s = grid.cell_start[hc]
+        c = jnp.where(in_bbox, grid.cell_count[hc], 0)
+        starts.append(s)
+        counts.append(c)
+    return jnp.stack(starts, axis=1), jnp.stack(counts, axis=1)
+
+
+def expand_pairs(starts, counts, pair_cap: int):
+    """Expand per-(query, cell) CSR ranges into an explicit pair list.
+
+    starts/counts: [Q, 8]. Returns (qc_idx [P_cap], photon_pos [P_cap],
+    pair_valid [P_cap], total_pairs scalar, overflow scalar) where qc_idx
+    indexes the flattened [Q*8] (query, cell) axis and photon_pos indexes
+    the grid's sorted order. Uses the scatter-boundary + cumsum segment
+    trick — cost scales with actual candidates, not max cell occupancy.
+    """
+    qc = counts.reshape(-1)            # [Q*8]
+    st = starts.reshape(-1)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(qc)[:-1].astype(jnp.int32)]
     )
+    total = offs[-1] + qc[-1]
+    overflow = jnp.maximum(total - pair_cap, 0)
+
+    # Segment id per pair: scatter each non-empty segment's id at its start
+    # offset, then cummax carries it across the segment (empty segments
+    # never scatter; overlapping starts keep the max, whose preceding
+    # segments are empty there anyway).
+    seg_first = jnp.zeros((pair_cap,), jnp.int32).at[offs].max(
+        jnp.where(
+            qc > 0,
+            jnp.arange(qc.shape[0], dtype=jnp.int32),
+            0,
+        ),
+        mode="drop",
+    )
+    qc_idx = jax.lax.cummax(seg_first)
+
+    p = jnp.arange(pair_cap, dtype=jnp.int32)
+    rank = p - offs[qc_idx]
+    photon_pos = st[qc_idx] + rank
+    pair_valid = (p < total) & (rank < qc[qc_idx]) & (rank >= 0)
+    return qc_idx, photon_pos, pair_valid, total, overflow

@@ -1,4 +1,4 @@
-"""Batched light sampling/evaluation for the four light types.
+"""Batched light sampling/evaluation for the four light types (SoA vectors).
 
 Replaces the reference's virtual ``AbstractLight`` dispatch (lights.hxx:42-109)
 with branch-free evaluation: every lane gathers its picked light's unified
@@ -16,14 +16,13 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..core.vec3 import V3, dot, len_sqr, v3_where
 from ..core.vecmath import (
     EPS_COSINE,
     INV_PI_F,
     concentric_disc_pdf_a,
     cos_hemisphere_pdf_w,
-    dot,
     frame_set_from_z,
-    len_sqr,
     sample_concentric_disc,
     sample_cos_hemisphere_w,
     sample_uniform_sphere_w,
@@ -41,29 +40,29 @@ from ..scene.scene import (
 
 
 class IlluminateResult(NamedTuple):
-    radiance: jnp.ndarray         # [N,3] — zero => sample invalid
-    dir_to_light: jnp.ndarray     # [N,3]
-    distance: jnp.ndarray         # [N]
-    direct_pdf_w: jnp.ndarray     # [N]
-    emission_pdf_w: jnp.ndarray   # [N]
-    cos_at_light: jnp.ndarray     # [N]
+    radiance: V3                 # zero => sample invalid
+    dir_to_light: V3
+    distance: jnp.ndarray
+    direct_pdf_w: jnp.ndarray
+    emission_pdf_w: jnp.ndarray
+    cos_at_light: jnp.ndarray
 
 
 class EmitResult(NamedTuple):
-    energy: jnp.ndarray          # [N,3]
-    position: jnp.ndarray        # [N,3]
-    direction: jnp.ndarray       # [N,3]
-    emission_pdf_w: jnp.ndarray  # [N]
-    direct_pdf_a: jnp.ndarray    # [N]
-    cos_theta_light: jnp.ndarray # [N]
-    is_finite: jnp.ndarray       # [N] bool
-    is_delta: jnp.ndarray        # [N] bool
+    energy: V3
+    position: V3
+    direction: V3
+    emission_pdf_w: jnp.ndarray
+    direct_pdf_a: jnp.ndarray
+    cos_theta_light: jnp.ndarray
+    is_finite: jnp.ndarray
+    is_delta: jnp.ndarray
 
 
 class RadianceResult(NamedTuple):
-    radiance: jnp.ndarray        # [N,3]
-    direct_pdf_a: jnp.ndarray    # [N]
-    emission_pdf_w: jnp.ndarray  # [N]
+    radiance: V3
+    direct_pdf_a: jnp.ndarray
+    emission_pdf_w: jnp.ndarray
 
 
 def _gather(lights: Lights, idx):
@@ -77,12 +76,25 @@ def _gather(lights: Lights, idx):
     )
 
 
-def _safe(x, eps=0.0):
-    return jnp.where(x == eps, 1.0, x)
+def _safe(x):
+    return jnp.where(x == 0.0, 1.0, x)
+
+
+def _pick4(kind, a, d, p, b):
+    is_area = kind == LIGHT_AREA
+    is_dir = kind == LIGHT_DIRECTIONAL
+    is_point = kind == LIGHT_POINT
+    if isinstance(a, V3):
+        return v3_where(
+            is_area, a, v3_where(is_dir, d, v3_where(is_point, p, b))
+        )
+    return jnp.where(
+        is_area, a, jnp.where(is_dir, d, jnp.where(is_point, p, b))
+    )
 
 
 def illuminate(
-    lights: Lights, idx, sphere: SceneSphere, recv_pos, rnd2
+    lights: Lights, idx, sphere: SceneSphere, recv_pos: V3, u1, u2
 ) -> IlluminateResult:
     """AbstractLight::Illuminate for every lane's picked light."""
     kind, p0, e1, e2, fx, fy, fz, intensity, inv_area, _, _ = _gather(
@@ -90,18 +102,18 @@ def illuminate(
     )
 
     # --- Area light (lights.hxx:131-166).
-    uv = sample_uniform_triangle(rnd2)
-    lp = p0 + e1 * uv[..., 0:1] + e2 * uv[..., 1:2]
+    uv0, uv1 = sample_uniform_triangle(u1, u2)
+    lp = p0 + e1 * uv0 + e2 * uv1
     to_l = lp - recv_pos
     dist_sqr = jnp.maximum(len_sqr(to_l), 1e-30)
     a_dist = jnp.sqrt(dist_sqr)
-    a_dir = to_l / a_dist[..., None]
+    a_dir = to_l * (1.0 / a_dist)
     cos_normal_dir = dot(fz, -a_dir)
     a_ok = cos_normal_dir >= EPS_COSINE
     safe_cos = _safe(jnp.where(a_ok, cos_normal_dir, 0.0))
     a_direct_pdf = inv_area * dist_sqr / safe_cos
     a_emission_pdf = inv_area * cos_normal_dir * INV_PI_F
-    a_radiance = jnp.where(a_ok[..., None], intensity, 0.0)
+    a_radiance = v3_where(a_ok, intensity, 0.0)
 
     # --- Directional (lights.hxx:244-265).
     d_dir = -fz
@@ -112,118 +124,87 @@ def illuminate(
     p_to_l = p0 - recv_pos
     p_dist_sqr = jnp.maximum(len_sqr(p_to_l), 1e-30)
     p_dist = jnp.sqrt(p_dist_sqr)
-    p_dir = p_to_l / p_dist[..., None]
+    p_dir = p_to_l * (1.0 / p_dist)
     p_direct_pdf = p_dist_sqr
     p_emission_pdf = jnp.full_like(inv_area, uniform_sphere_pdf_w())
 
     # --- Background (lights.hxx:410-436).
-    b_dir, b_direct_pdf = sample_uniform_sphere_w(rnd2)
+    b_dir, b_direct_pdf = sample_uniform_sphere_w(u1, u2)
     b_emission_pdf = (
         b_direct_pdf * concentric_disc_pdf_a() * sphere.inv_radius_sqr
     )
 
-    is_area = kind == LIGHT_AREA
-    is_dir = kind == LIGHT_DIRECTIONAL
-    is_point = kind == LIGHT_POINT
-
-    def pick(a, d, p, b):
-        if a.ndim > kind.ndim:
-            m = lambda c: c[..., None]
-        else:
-            m = lambda c: c
-        return jnp.where(
-            m(is_area), a, jnp.where(m(is_dir), d, jnp.where(m(is_point), p, b))
-        )
-
     big = jnp.full_like(inv_area, 1e36)
     one = jnp.ones_like(inv_area)
+    d_e = jnp.broadcast_to(d_emission_pdf, inv_area.shape)
     return IlluminateResult(
-        radiance=pick(a_radiance, intensity, intensity, intensity),
-        dir_to_light=pick(a_dir, d_dir, p_dir, b_dir),
-        distance=pick(a_dist, big, p_dist, big),
-        direct_pdf_w=pick(a_direct_pdf, d_direct_pdf, p_direct_pdf, b_direct_pdf),
-        emission_pdf_w=pick(
-            a_emission_pdf, d_emission_pdf, p_emission_pdf, b_emission_pdf
+        radiance=_pick4(kind, a_radiance, intensity, intensity, intensity),
+        dir_to_light=_pick4(kind, a_dir, d_dir, p_dir, b_dir),
+        distance=_pick4(kind, a_dist, big, p_dist, big),
+        direct_pdf_w=_pick4(kind, a_direct_pdf, d_direct_pdf, p_direct_pdf,
+                            b_direct_pdf),
+        emission_pdf_w=_pick4(kind, a_emission_pdf, d_e, p_emission_pdf,
+                              b_emission_pdf),
+        cos_at_light=_pick4(
+            kind, jnp.where(a_ok, cos_normal_dir, 1.0), one, one, one
         ),
-        cos_at_light=pick(jnp.where(a_ok, cos_normal_dir, 1.0), one, one, one),
     )
 
 
 def emit(
-    lights: Lights, idx, sphere: SceneSphere, rnd_dir, rnd_pos
+    lights: Lights, idx, sphere: SceneSphere, ud1, ud2, up1, up2
 ) -> EmitResult:
-    """AbstractLight::Emit for every lane's picked light."""
+    """AbstractLight::Emit for every lane's picked light.
+
+    ud* = direction random pair, up* = position random pair.
+    """
     kind, p0, e1, e2, fx, fy, fz, intensity, inv_area, is_finite, is_delta = (
         _gather(lights, idx)
     )
 
     # --- Area (lights.hxx:168-196).
-    uv = sample_uniform_triangle(rnd_pos)
-    a_pos = p0 + e1 * uv[..., 0:1] + e2 * uv[..., 1:2]
-    local_dir, cos_pdf = sample_cos_hemisphere_w(rnd_dir)
+    uv0, uv1 = sample_uniform_triangle(up1, up2)
+    a_pos = p0 + e1 * uv0 + e2 * uv1
+    local_dir, cos_pdf = sample_cos_hemisphere_w(ud1, ud2)
     a_emission_pdf = cos_pdf * inv_area
-    local_z = jnp.maximum(local_dir[..., 2], EPS_COSINE)
-    local_dir = jnp.concatenate(
-        [local_dir[..., :2], local_z[..., None]], axis=-1
-    )
-    a_dir = (
-        fx * local_dir[..., 0:1]
-        + fy * local_dir[..., 1:2]
-        + fz * local_dir[..., 2:3]
-    )
-    a_energy = intensity * local_z[..., None]
+    local_z = jnp.maximum(local_dir.z, EPS_COSINE)
+    a_dir = fx * local_dir.x + fy * local_dir.y + fz * local_z
+    a_energy = intensity * local_z
 
     # --- Directional (lights.hxx:267-294).
-    disc_xy = sample_concentric_disc(rnd_pos)
-    d_pos = sphere.center + sphere.radius * (
-        -fz + fx * disc_xy[..., 0:1] + fy * disc_xy[..., 1:2]
-    )
+    disc_x, disc_y = sample_concentric_disc(up1, up2)
+    d_pos = sphere.center + (-fz + fx * disc_x + fy * disc_y) * sphere.radius
     d_dir = fz
     d_emission_pdf = concentric_disc_pdf_a() * sphere.inv_radius_sqr
 
     # --- Point (lights.hxx:354-375).
-    p_dir, p_emission_pdf = sample_uniform_sphere_w(rnd_dir)
+    p_dir, p_emission_pdf = sample_uniform_sphere_w(ud1, ud2)
 
     # --- Background (lights.hxx:438-478).
-    b_dir, b_direct_pdf = sample_uniform_sphere_w(rnd_dir)
+    b_dir, b_direct_pdf = sample_uniform_sphere_w(ud1, ud2)
     bfx, bfy, _ = frame_set_from_z(b_dir)
-    b_pos = sphere.center + sphere.radius * (
-        -b_dir + bfx * disc_xy[..., 0:1] + bfy * disc_xy[..., 1:2]
-    )
+    b_pos = sphere.center + (-b_dir + bfx * disc_x + bfy * disc_y) * sphere.radius
     b_emission_pdf = (
         b_direct_pdf * concentric_disc_pdf_a() * sphere.inv_radius_sqr
     )
 
-    is_area = kind == LIGHT_AREA
-    is_dir = kind == LIGHT_DIRECTIONAL
-    is_point = kind == LIGHT_POINT
-
-    def pick(a, d, p, b):
-        if a.ndim > kind.ndim:
-            m = lambda c: c[..., None]
-        else:
-            m = lambda c: c
-        return jnp.where(
-            m(is_area), a, jnp.where(m(is_dir), d, jnp.where(m(is_point), p, b))
-        )
-
     one = jnp.ones_like(inv_area)
+    d_e = jnp.broadcast_to(d_emission_pdf, inv_area.shape)
     return EmitResult(
-        energy=pick(a_energy, intensity, intensity, intensity),
-        position=pick(a_pos, d_pos, p0, b_pos),
-        direction=pick(a_dir, d_dir, p_dir, b_dir),
-        emission_pdf_w=pick(
-            a_emission_pdf, d_emission_pdf, p_emission_pdf, b_emission_pdf
-        ),
-        direct_pdf_a=pick(inv_area, one, one, b_direct_pdf),
-        cos_theta_light=pick(local_z, one, one, one),
+        energy=_pick4(kind, a_energy, intensity, intensity, intensity),
+        position=_pick4(kind, a_pos, d_pos, p0, b_pos),
+        direction=_pick4(kind, a_dir, d_dir, p_dir, b_dir),
+        emission_pdf_w=_pick4(kind, a_emission_pdf, d_e, p_emission_pdf,
+                              b_emission_pdf),
+        direct_pdf_a=_pick4(kind, inv_area, one, one, b_direct_pdf),
+        cos_theta_light=_pick4(kind, local_z, one, one, one),
         is_finite=is_finite,
         is_delta=is_delta,
     )
 
 
 def get_radiance(
-    lights: Lights, idx, sphere: SceneSphere, ray_dir
+    lights: Lights, idx, sphere: SceneSphere, ray_dir: V3
 ) -> RadianceResult:
     """AbstractLight::GetRadiance for lights hit by a random ray."""
     kind, _, _, _, _, _, fz, intensity, inv_area, _, _ = _gather(lights, idx)
@@ -231,7 +212,7 @@ def get_radiance(
     # --- Area (lights.hxx:198-220).
     cos_out = jnp.maximum(0.0, dot(fz, -ray_dir))
     a_ok = cos_out > 0.0
-    a_radiance = jnp.where(a_ok[..., None], intensity, 0.0)
+    a_radiance = v3_where(a_ok, intensity, 0.0)
     a_emission_pdf = cos_hemisphere_pdf_w(fz, -ray_dir) * inv_area
 
     # --- Background (lights.hxx:480-502).
@@ -242,17 +223,14 @@ def get_radiance(
 
     is_area = kind == LIGHT_AREA
     is_bg = kind == LIGHT_BACKGROUND
-    zero3 = jnp.zeros_like(intensity)
     zero = jnp.zeros_like(inv_area)
 
-    radiance = jnp.where(
-        is_area[..., None], a_radiance, jnp.where(is_bg[..., None], intensity, zero3)
-    )
-    direct_pdf = jnp.where(
-        is_area, inv_area, jnp.where(is_bg, b_direct_pdf, zero)
-    )
+    radiance = v3_where(is_area, a_radiance, v3_where(is_bg, intensity, 0.0))
+    direct_pdf = jnp.where(is_area, inv_area,
+                           jnp.where(is_bg, b_direct_pdf, zero))
     emission_pdf = jnp.where(
-        is_area, a_emission_pdf, jnp.where(is_bg, b_emission_pdf, zero)
+        is_area, a_emission_pdf,
+        jnp.where(is_bg, jnp.broadcast_to(b_emission_pdf, zero.shape), zero),
     )
     return RadianceResult(
         radiance=radiance, direct_pdf_a=direct_pdf, emission_pdf_w=emission_pdf

@@ -54,7 +54,7 @@ def sharded_render_iteration(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    merge_k: int = 32,
+    pair_factor: int = 24,
 ) -> jnp.ndarray:
     """One VCM-family iteration with paths sharded over ``mesh``.
 
@@ -80,7 +80,7 @@ def sharded_render_iteration(
         return vcm.render_iteration_core(
             scene_rep, iteration, pix_shard, res_x, res_y, n, base_seed,
             max_path_length, min_path_length, radius_factor, radius_alpha,
-            use_vc, use_vm, light_trace_only, ppm, merge_k, axis_name=AXIS,
+            use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=AXIS,
         )
 
     fb, _rays = run(scene, pix)

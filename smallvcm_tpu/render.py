@@ -56,7 +56,7 @@ class RenderConfig:
     max_path_length: int = 10
     min_path_length: int = 0
     resolution: tuple = (512, 512)
-    merge_k: int = 32
+    pair_factor: int = 24
     # multi-device execution (None => single device)
     mesh: Optional[object] = None
 
@@ -65,12 +65,12 @@ def ppm_downgrade_needed(scene: SceneData) -> bool:
     """PPM cannot handle mixed specular+non-specular materials; the reference
     self-downgrades to BPM after scanning the scene (vertexcm.hxx:246-278)."""
     mats = scene.materials
-    diffuse = np.asarray(mats.diffuse)
-    phong = np.asarray(mats.phong)
-    mirror = np.asarray(mats.mirror)
+    diffuse = np.asarray(mats.diffuse.max_component())
+    phong = np.asarray(mats.phong.max_component())
+    mirror = np.asarray(mats.mirror.max_component())
     ior = np.asarray(mats.ior)
-    has_non_specular = (diffuse.max(axis=-1) > 0) | (phong.max(axis=-1) > 0)
-    has_specular = (mirror.max(axis=-1) > 0) | (ior > 0)
+    has_non_specular = (diffuse > 0) | (phong > 0)
+    has_specular = (mirror > 0) | (ior > 0)
     return bool((has_non_specular & has_specular).any())
 
 
@@ -101,7 +101,7 @@ def render_single_iteration(
         cfg.max_path_length, cfg.min_path_length,
         cfg.radius_factor, cfg.radius_alpha,
         use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
-        merge_k=cfg.merge_k,
+        pair_factor=cfg.pair_factor,
     )
 
 

@@ -13,12 +13,13 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.vecmath import PI_F, dot, normalize
+from ..core.vec3 import V3, normalize
+from ..core.vecmath import PI_F
 
 
 class CameraData(NamedTuple):
-    position: jnp.ndarray       # [3]
-    forward: jnp.ndarray        # [3]
+    position: "V3"              # V3 of scalars
+    forward: "V3"               # V3 of scalars
     resolution: jnp.ndarray     # [2] float (resX, resY)
     raster_to_world: jnp.ndarray  # [4,4] row-major
     world_to_raster: jnp.ndarray  # [4,4] row-major
@@ -80,9 +81,10 @@ def setup_camera(
     image_plane_dist = res_x / (2.0 * tan_half)
 
     f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    fv3 = lambda a: V3(*(f32(float(a[i])) for i in range(3)))
     return CameraData(
-        position=f32(position),
-        forward=f32(fwd),
+        position=fv3(position),
+        forward=fv3(fwd),
         resolution=f32([res_x, res_y]),
         raster_to_world=f32(raster_to_world),
         world_to_raster=f32(world_to_raster),
@@ -90,40 +92,42 @@ def setup_camera(
     )
 
 
-def transform_point(mat: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Homogeneous transform of [..., 3] points by a [4,4] row-major matrix.
+def transform_point(mat: jnp.ndarray, p: V3) -> V3:
+    """Homogeneous transform of V3 point batches by a [4,4] row-major matrix.
 
     w == 0 (point on the camera plane during light-path splat projection)
     is guarded: such raster positions land far off-screen either way, and
     the guard keeps the division VJP NaN-free.
     """
-    r = p @ mat[:3, :3].T + mat[:3, 3]
-    w = p @ mat[3, :3] + mat[3, 3]
-    w = jnp.where(jnp.abs(w) < 1e-35, 1e-35, w)
-    return r / w[..., None]
-
-
-def generate_ray(cam: CameraData, raster_xy: jnp.ndarray):
-    """Batched camera.hxx:108-117: raster [..., 2] -> (org [...,3], dir)."""
-    p = jnp.concatenate(
-        [raster_xy, jnp.zeros_like(raster_xy[..., :1])], axis=-1
+    r = V3(
+        mat[0, 0] * p.x + mat[0, 1] * p.y + mat[0, 2] * p.z + mat[0, 3],
+        mat[1, 0] * p.x + mat[1, 1] * p.y + mat[1, 2] * p.z + mat[1, 3],
+        mat[2, 0] * p.x + mat[2, 1] * p.y + mat[2, 2] * p.z + mat[2, 3],
     )
-    world = transform_point(cam.raster_to_world, p)
+    w = mat[3, 0] * p.x + mat[3, 1] * p.y + mat[3, 2] * p.z + mat[3, 3]
+    w = jnp.where(jnp.abs(w) < 1e-35, 1e-35, w)
+    return r * (1.0 / w)
+
+
+def generate_ray(cam: CameraData, sx, sy):
+    """Batched camera.hxx:108-117: raster coords (sx, sy) -> (org V3, dir V3)."""
+    world = transform_point(
+        cam.raster_to_world, V3(sx, sy, jnp.zeros_like(sx))
+    )
     d = normalize(world - cam.position)
-    org = jnp.broadcast_to(cam.position, d.shape)
+    org = cam.position.broadcast_to(d.shape)
     return org, d
 
 
-def world_to_raster(cam: CameraData, world_pos: jnp.ndarray) -> jnp.ndarray:
-    """Batched camera.hxx:95-99: [..., 3] -> raster [..., 2]."""
-    return transform_point(cam.world_to_raster, world_pos)[..., :2]
+def world_to_raster(cam: CameraData, world_pos: V3):
+    """Batched camera.hxx:95-99: V3 -> raster (x, y)."""
+    r = transform_point(cam.world_to_raster, world_pos)
+    return r.x, r.y
 
 
-def check_raster(cam: CameraData, raster_pos: jnp.ndarray) -> jnp.ndarray:
+def check_raster(cam: CameraData, rx, ry) -> jnp.ndarray:
     """camera.hxx:102-106."""
     return (
-        (raster_pos[..., 0] >= 0)
-        & (raster_pos[..., 1] >= 0)
-        & (raster_pos[..., 0] < cam.resolution[0])
-        & (raster_pos[..., 1] < cam.resolution[1])
+        (rx >= 0) & (ry >= 0)
+        & (rx < cam.resolution[0]) & (ry < cam.resolution[1])
     )

@@ -18,6 +18,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from ..core.vec3 import V3
 from ..core.vecmath import PI_F, INV_PI_F
 from .camera import CameraData, setup_camera
 
@@ -53,10 +54,10 @@ SCENE_CONFIGS = (
 class Materials(NamedTuple):
     """materials.hxx:36-66 as SoA; these leaves are the differentiable params."""
 
-    diffuse: jnp.ndarray   # [M,3]
-    phong: jnp.ndarray     # [M,3]
+    diffuse: V3            # V3 of [M]
+    phong: V3              # V3 of [M]
     exponent: jnp.ndarray  # [M]
-    mirror: jnp.ndarray    # [M,3]
+    mirror: V3             # V3 of [M]
     ior: jnp.ndarray       # [M] (< 0 => no refraction)
 
 
@@ -71,20 +72,20 @@ class Lights(NamedTuple):
     """
 
     kind: jnp.ndarray       # [L] int32
-    p0: jnp.ndarray         # [L,3]
-    e1: jnp.ndarray         # [L,3]
-    e2: jnp.ndarray         # [L,3]
-    frame_x: jnp.ndarray    # [L,3]
-    frame_y: jnp.ndarray    # [L,3]
-    frame_z: jnp.ndarray    # [L,3] (normal / direction)
-    intensity: jnp.ndarray  # [L,3] — differentiable
+    p0: V3                  # V3 of [L]
+    e1: V3                  # V3 of [L]
+    e2: V3                  # V3 of [L]
+    frame_x: V3             # V3 of [L]
+    frame_y: V3             # V3 of [L]
+    frame_z: V3             # V3 of [L] (normal / direction)
+    intensity: V3           # V3 of [L] — differentiable
     inv_area: jnp.ndarray   # [L]
     is_finite: jnp.ndarray  # [L] bool
     is_delta: jnp.ndarray   # [L] bool
 
 
 class SceneSphere(NamedTuple):
-    center: jnp.ndarray          # [3]
+    center: V3                   # V3 of scalars
     radius: jnp.ndarray          # scalar
     inv_radius_sqr: jnp.ndarray  # scalar
 
@@ -100,13 +101,13 @@ class SceneData:
     """Scene pytree. ``background_idx`` is static metadata (not traced)."""
 
     # Triangles (two-sided; geometry.hxx:106-177).
-    tri_p0: jnp.ndarray      # [T,3]
-    tri_p1: jnp.ndarray      # [T,3]
-    tri_p2: jnp.ndarray      # [T,3]
-    tri_normal: jnp.ndarray  # [T,3]
+    tri_p0: V3               # V3 of [T]
+    tri_p1: V3               # V3 of [T]
+    tri_p2: V3               # V3 of [T]
+    tri_normal: V3           # V3 of [T]
     tri_mat: jnp.ndarray     # [T] int32
     # Spheres (geometry.hxx:179-266).
-    sph_center: jnp.ndarray  # [S,3]
+    sph_center: V3           # V3 of [S]
     sph_radius: jnp.ndarray  # [S]
     sph_mat: jnp.ndarray     # [S] int32
     materials: Materials
@@ -202,6 +203,8 @@ class _SceneBuilder:
     def finish(self, camera: CameraData) -> SceneData:
         f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
         i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))
+        fv3 = lambda a: V3(*(f32(np.asarray(a, np.float64)[..., i])
+                             for i in range(3)))
 
         tri_p0 = np.stack([t[0] for t in self.tris])
         tri_p1 = np.stack([t[1] for t in self.tris])
@@ -220,22 +223,22 @@ class _SceneBuilder:
             sph_m = np.zeros((0,), np.int32)
 
         mats = Materials(
-            diffuse=f32([m["diffuse"] for m in self.materials]),
-            phong=f32([m["phong"] for m in self.materials]),
+            diffuse=fv3([m["diffuse"] for m in self.materials]),
+            phong=fv3([m["phong"] for m in self.materials]),
             exponent=f32([m["exponent"] for m in self.materials]),
-            mirror=f32([m["mirror"] for m in self.materials]),
+            mirror=fv3([m["mirror"] for m in self.materials]),
             ior=f32([m["ior"] for m in self.materials]),
         )
 
         lights = Lights(
             kind=i32([l["kind"] for l in self.lights]),
-            p0=f32([l["p0"] for l in self.lights]),
-            e1=f32([l["e1"] for l in self.lights]),
-            e2=f32([l["e2"] for l in self.lights]),
-            frame_x=f32([l["frame"][0] for l in self.lights]),
-            frame_y=f32([l["frame"][1] for l in self.lights]),
-            frame_z=f32([l["frame"][2] for l in self.lights]),
-            intensity=f32([l["intensity"] for l in self.lights]),
+            p0=fv3([l["p0"] for l in self.lights]),
+            e1=fv3([l["e1"] for l in self.lights]),
+            e2=fv3([l["e2"] for l in self.lights]),
+            frame_x=fv3([l["frame"][0] for l in self.lights]),
+            frame_y=fv3([l["frame"][1] for l in self.lights]),
+            frame_z=fv3([l["frame"][2] for l in self.lights]),
+            intensity=fv3([l["intensity"] for l in self.lights]),
             inv_area=f32([l["inv_area"] for l in self.lights]),
             is_finite=jnp.asarray([l["is_finite"] for l in self.lights]),
             is_delta=jnp.asarray([l["is_delta"] for l in self.lights]),
@@ -254,15 +257,15 @@ class _SceneBuilder:
             bbox_max = np.maximum(bbox_max, c + r)
         radius = 0.5 * np.linalg.norm(bbox_max - bbox_min)
         sphere = SceneSphere(
-            center=f32((bbox_max + bbox_min) * 0.5),
+            center=fv3((bbox_max + bbox_min) * 0.5),
             radius=f32(radius),
             inv_radius_sqr=f32(1.0 / (radius * radius)),
         )
 
         return SceneData(
-            tri_p0=f32(tri_p0), tri_p1=f32(tri_p1), tri_p2=f32(tri_p2),
-            tri_normal=f32(tri_n), tri_mat=i32(tri_mat),
-            sph_center=f32(sph_c), sph_radius=f32(sph_r), sph_mat=i32(sph_m),
+            tri_p0=fv3(tri_p0), tri_p1=fv3(tri_p1), tri_p2=fv3(tri_p2),
+            tri_normal=fv3(tri_n), tri_mat=i32(tri_mat),
+            sph_center=fv3(sph_c), sph_radius=f32(sph_r), sph_mat=i32(sph_m),
             materials=mats, lights=lights, mat_to_light=i32(m2l),
             scene_sphere=sphere, camera=camera,
             background_idx=self.background_idx,

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 from smallvcm_tpu import diff
+from smallvcm_tpu.core.vec3 import V3
 from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
 
 RES = 32
@@ -21,14 +22,25 @@ def params(scene):
     return diff.extract_params(scene)
 
 
+def _bump_x(v: V3, idx: int, eps: float) -> V3:
+    x = np.asarray(v.x).copy()
+    x[idx] += eps
+    return V3(jnp.asarray(x), v.y, v.z)
+
+
 def _mean_image(scene, params, alg, iters=2, **kw):
     img = jnp.zeros((RES, RES, 3), jnp.float32)
     for i in range(iters):
         img = img + diff.render_params(
-            scene, params, i, alg, RES, RES, max_path_length=6, merge_k=8,
-            **kw,
+            scene, params, i, alg, RES, RES, max_path_length=6, **kw
         )
     return img / iters
+
+
+def _grad_finite(g):
+    return all(
+        np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
+    )
 
 
 class TestLightIntensityGradient:
@@ -41,18 +53,19 @@ class TestLightIntensityGradient:
             return jnp.mean(_mean_image(scene, p, alg))
 
         g = jax.grad(loss)(params)
-        g_int = np.asarray(g.light_intensity)
-        assert np.isfinite(g_int).all()
-        assert np.abs(g_int).max() > 0
+        assert _grad_finite(g)
+        g_int = float(np.asarray(g.light_intensity.x)[0])
+        assert abs(g_int) > 0
 
         eps = 1e-2
-        li = np.asarray(params.light_intensity)
-        bump = np.zeros_like(li)
-        bump[0, 0] = eps
-        lp = params._replace(light_intensity=jnp.asarray(li + bump))
-        lm = params._replace(light_intensity=jnp.asarray(li - bump))
+        lp = params._replace(
+            light_intensity=_bump_x(params.light_intensity, 0, eps)
+        )
+        lm = params._replace(
+            light_intensity=_bump_x(params.light_intensity, 0, -eps)
+        )
         fd = (float(loss(lp)) - float(loss(lm))) / (2 * eps)
-        np.testing.assert_allclose(g_int[0, 0], fd, rtol=2e-2, atol=1e-7)
+        np.testing.assert_allclose(g_int, fd, rtol=2e-2, atol=1e-7)
 
 
 class TestReflectanceGradient:
@@ -67,16 +80,13 @@ class TestReflectanceGradient:
             return jnp.mean(_mean_image(scene, p, alg, iters=3))
 
         g = jax.grad(loss)(params)
-        g_d = float(np.asarray(g.diffuse)[5, 0])
+        g_d = float(np.asarray(g.diffuse.x)[5])
         assert np.isfinite(g_d)
         assert g_d > 0  # brighter wall => brighter image
 
         eps = 5e-3
-        d = np.asarray(params.diffuse)
-        bump = np.zeros_like(d)
-        bump[5, 0] = eps
-        pp = params._replace(diffuse=jnp.asarray(d + bump))
-        pm = params._replace(diffuse=jnp.asarray(d - bump))
+        pp = params._replace(diffuse=_bump_x(params.diffuse, 5, eps))
+        pm = params._replace(diffuse=_bump_x(params.diffuse, 5, -eps))
         fd = (float(loss(pp)) - float(loss(pm))) / (2 * eps)
         assert abs(g_d - fd) / max(abs(fd), 1e-6) < 0.25, (g_d, fd)
 
@@ -85,15 +95,14 @@ class TestReflectanceGradient:
 
         def loss(p):
             img = diff.render_params(
-                scene, p, 0, "bpm", RES, RES, max_path_length=6, merge_k=8
+                scene, p, 0, "bpm", RES, RES, max_path_length=6
             )
             return jnp.mean(img)
 
         g = jax.grad(loss)(params)
-        assert np.abs(np.asarray(g.diffuse)).max() > 0
-        assert np.abs(np.asarray(g.light_intensity)).max() > 0
-        for leaf in jax.tree_util.tree_leaves(g):
-            assert np.isfinite(np.asarray(leaf)).all()
+        assert abs(np.asarray(g.diffuse.x)).max() > 0
+        assert abs(np.asarray(g.light_intensity.x)).max() > 0
+        assert _grad_finite(g)
 
     def test_phong_exponent_gradient_finite(self, scene, params):
         def loss(p):
@@ -108,18 +117,27 @@ class TestInverseRenderingStep:
         """One SGD step on a perturbed diffuse color moves toward target."""
         target = _mean_image(scene, params, "pt", iters=4)
 
-        d = np.asarray(params.diffuse).copy()
-        d[5] = [0.4, 0.4, 0.4]  # perturb back wall
-        p0 = params._replace(diffuse=jnp.asarray(d))
+        d = jax.tree_util.tree_map(
+            lambda a: np.asarray(a).copy(), params.diffuse
+        )
+        for comp in (d.x, d.y, d.z):
+            comp[5] = 0.4  # perturb back wall
+        p0 = params._replace(
+            diffuse=V3(jnp.asarray(d.x), jnp.asarray(d.y), jnp.asarray(d.z))
+        )
 
         loss0, g = diff.loss_and_grad(
-            scene, p0, target, 0, "pt", RES, RES, n_iterations=2,
+            scene, p0, target, 0, "pt", RES, RES, n_iterations=3,
             max_path_length=6,
         )
-        lr = 0.5 / (np.abs(np.asarray(g.diffuse)).max() + 1e-9)
-        p1 = p0._replace(diffuse=p0.diffuse - lr * g.diffuse)
+        gmax = max(
+            abs(np.asarray(c)).max() for c in (g.diffuse.x, g.diffuse.y,
+                                               g.diffuse.z)
+        )
+        lr = 0.15 / (gmax + 1e-9)
+        p1 = p0._replace(diffuse=p0.diffuse - g.diffuse * lr)
         loss1, _ = diff.loss_and_grad(
-            scene, p1, target, 0, "pt", RES, RES, n_iterations=2,
+            scene, p1, target, 0, "pt", RES, RES, n_iterations=3,
             max_path_length=6,
         )
         assert float(loss1) < float(loss0)

@@ -1,84 +1,122 @@
-"""Hashgrid correctness: query results equal brute-force range search."""
+"""Hashgrid correctness: radix sort + pair expansion equal brute force."""
 
 import numpy as np
 import jax.numpy as jnp
 
+from smallvcm_tpu.core.vec3 import from_array
 from smallvcm_tpu.ops import hashgrid
 
 
-def _brute_force(positions, valid, queries, radius):
-    out = []
-    for q in queries:
+def test_stable_radix_argsort_matches_numpy():
+    g = np.random.default_rng(0)
+    keys = g.integers(0, 1 << 18, 100000).astype(np.uint32)
+    order = np.asarray(hashgrid.stable_radix_argsort(jnp.asarray(keys), 18))
+    expect = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(order, expect)
+
+
+def test_radix_argsort_small_key_space():
+    g = np.random.default_rng(1)
+    keys = g.integers(0, 7, 1000).astype(np.uint32)
+    order = np.asarray(hashgrid.stable_radix_argsort(jnp.asarray(keys), 3))
+    expect = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(order, expect)
+
+
+def _pairs_via_grid(positions, valid, queries, radius, num_cells,
+                    pair_cap=200000):
+    grid = hashgrid.build(
+        from_array(jnp.asarray(positions)), jnp.asarray(valid),
+        jnp.float32(radius), num_cells,
+    )
+    starts, counts = hashgrid.query_cell_ranges(
+        grid, num_cells, from_array(jnp.asarray(queries))
+    )
+    qc_idx, photon_pos, ok, total, ovf = hashgrid.expand_pairs(
+        starts, counts, pair_cap
+    )
+    assert int(ovf) == 0
+    m = positions.shape[0]
+    ph = np.asarray(grid.sorted_idx)[
+        np.minimum(np.asarray(photon_pos), m - 1)
+    ]
+    okn = np.asarray(ok) & (np.asarray(photon_pos) < m)
+    q = np.asarray(qc_idx)[okn] // 8
+    p = ph[okn]
+    # distance filter (the caller's job)
+    d2 = ((positions[p] - queries[q]) ** 2).sum(-1)
+    keep = (d2 <= radius * radius) & valid[p]
+    return set(zip(q[keep], p[keep]))
+
+
+def _pairs_brute(positions, valid, queries, radius):
+    out = set()
+    for qi, q in enumerate(queries):
         d2 = ((positions - q) ** 2).sum(-1)
-        out.append(set(np.nonzero((d2 <= radius * radius) & valid)[0]))
+        for pi in np.nonzero((d2 <= radius * radius) & valid)[0]:
+            out.add((qi, pi))
     return out
 
 
-def test_query_matches_brute_force():
-    g = np.random.default_rng(0)
+def test_pairs_match_brute_force():
+    g = np.random.default_rng(2)
     m, nq = 4000, 256
     radius = 0.05
     positions = g.uniform(size=(m, 3)).astype(np.float32)
     valid = g.uniform(size=m) < 0.9
     queries = g.uniform(0.1, 0.9, size=(nq, 3)).astype(np.float32)
 
-    num_cells = 1024
+    mine = _pairs_via_grid(positions, valid, queries, radius, 1024)
+    expect = _pairs_brute(positions, valid, queries, radius)
+    assert mine == expect
+
+
+def test_pairs_no_duplicates():
+    g = np.random.default_rng(3)
+    m, nq = 2000, 128
+    positions = g.uniform(size=(m, 3)).astype(np.float32)
+    valid = np.ones(m, bool)
+    queries = positions[:nq] + 0.001
     grid = hashgrid.build(
-        jnp.asarray(positions), jnp.asarray(valid), jnp.float32(radius),
-        num_cells,
+        from_array(jnp.asarray(positions)), jnp.asarray(valid),
+        jnp.float32(0.03), 512,
     )
-    k = int(grid.max_occupancy)
-    idx, mask = hashgrid.query_candidates(
-        grid, num_cells, jnp.asarray(queries), k
+    starts, counts = hashgrid.query_cell_ranges(
+        grid, 512, from_array(jnp.asarray(queries))
     )
-    idx, mask = np.asarray(idx), np.asarray(mask)
+    qc_idx, photon_pos, ok, total, ovf = hashgrid.expand_pairs(
+        starts, counts, 100000
+    )
+    okn = np.asarray(ok)
+    pairs = list(zip(np.asarray(qc_idx)[okn] // 8,
+                     np.asarray(photon_pos)[okn]))
+    # A photon may legitimately appear via two hash-colliding probe cells
+    # (the reference double-visits those too); with 512 cells and 8 probes
+    # collisions exist but must be rare.
+    dup_frac = 1.0 - len(set(pairs)) / max(len(pairs), 1)
+    assert dup_frac < 0.05
 
-    expected = _brute_force(positions, valid, queries, radius)
-    for qi in range(nq):
-        cand = set(idx[qi][mask[qi]])
-        # distance filter (the caller's job)
-        within = {
-            c for c in cand
-            if ((positions[c] - queries[qi]) ** 2).sum() <= radius * radius
-            and valid[c]
-        }
-        assert within == expected[qi], qi
+
+def test_out_of_bbox_query_returns_nothing():
+    g = np.random.default_rng(4)
+    positions = g.uniform(size=(100, 3)).astype(np.float32)
+    grid = hashgrid.build(
+        from_array(jnp.asarray(positions)), jnp.ones(100, bool),
+        jnp.float32(0.1), 64,
+    )
+    far = from_array(jnp.asarray([[10.0, 10.0, 10.0]], np.float32))
+    starts, counts = hashgrid.query_cell_ranges(grid, 64, far)
+    assert int(np.asarray(counts).sum()) == 0
 
 
-def test_invalid_particles_never_returned():
-    g = np.random.default_rng(1)
+def test_invalid_particles_not_counted():
+    g = np.random.default_rng(5)
     m = 1000
     positions = g.uniform(size=(m, 3)).astype(np.float32)
     valid = np.zeros(m, bool)
     valid[: m // 2] = True
     grid = hashgrid.build(
-        jnp.asarray(positions), jnp.asarray(valid), jnp.float32(0.2), 256
+        from_array(jnp.asarray(positions)), jnp.asarray(valid),
+        jnp.float32(0.2), 256,
     )
-    idx, mask = hashgrid.query_candidates(
-        grid, 256, jnp.asarray(positions[:64]), int(grid.max_occupancy)
-    )
-    returned = set(np.asarray(idx)[np.asarray(mask)])
-    assert all(valid[i] for i in returned)
-
-
-def test_out_of_bbox_query_returns_nothing():
-    g = np.random.default_rng(2)
-    positions = g.uniform(size=(100, 3)).astype(np.float32)
-    grid = hashgrid.build(
-        jnp.asarray(positions), jnp.ones(100, bool), jnp.float32(0.1), 64
-    )
-    far = jnp.asarray([[10.0, 10.0, 10.0]])
-    idx, mask = hashgrid.query_candidates(grid, 64, far, 4)
-    assert not bool(np.asarray(mask).any())
-
-
-def test_max_occupancy_bounds_cells():
-    g = np.random.default_rng(3)
-    positions = g.uniform(size=(500, 3)).astype(np.float32)
-    grid = hashgrid.build(
-        jnp.asarray(positions), jnp.ones(500, bool), jnp.float32(0.05), 128
-    )
-    starts = np.asarray(grid.cell_start)
-    ends = np.asarray(grid.cell_end)
-    assert (ends - starts).max() == int(grid.max_occupancy)
-    assert (ends >= starts).all()
+    assert int(np.asarray(grid.cell_count).sum()) == m // 2

@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from smallvcm_tpu.core.vec3 import V3, from_array
 from smallvcm_tpu.core.vecmath import INV_PI_F
 from smallvcm_tpu.ops import lights as light_ops
 from smallvcm_tpu.scene.scene import (
@@ -20,18 +21,20 @@ def scenes():
 
 
 def _rand2(n, seed):
-    return jnp.asarray(np.random.default_rng(seed).uniform(size=(n, 2)),
-                       jnp.float32)
+    a = np.random.default_rng(seed).uniform(size=(2, n)).astype(np.float32)
+    return jnp.asarray(a[0]), jnp.asarray(a[1])
 
 
 class TestAreaLight:
     def test_illuminate_pdf_matches_area(self, scenes):
         scene = scenes[1]  # ceiling area lights
         n = 4096
-        recv = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0]), (n, 3))
+        zeros = jnp.zeros((n,), jnp.float32)
+        recv = V3(zeros, zeros, zeros)
         idx = jnp.zeros((n,), jnp.int32)
+        u1, u2 = _rand2(n, 0)
         r = light_ops.illuminate(
-            scene.lights, idx, scene.scene_sphere, recv, _rand2(n, 0)
+            scene.lights, idx, scene.scene_sphere, recv, u1, u2
         )
         # directPdfW * cos / dist^2 == invArea (pdf conversion identity)
         inv_area = float(scene.lights.inv_area[0])
@@ -44,40 +47,42 @@ class TestAreaLight:
         scene = scenes[1]
         n = 1 << 15
         idx = jnp.zeros((n,), jnp.int32)
+        d1, d2 = _rand2(n, 1)
+        p1, p2 = _rand2(n, 2)
         e = light_ops.emit(
-            scene.lights, idx, scene.scene_sphere, _rand2(n, 1), _rand2(n, 2)
+            scene.lights, idx, scene.scene_sphere, d1, d2, p1, p2
         )
         # Energy = intensity * cos; E[cos] for cosine-sampled hemisphere = 2/3
-        intensity = float(scene.lights.intensity[0, 0])
+        intensity = float(scene.lights.intensity.x[0])
         mean_cos = np.asarray(e.cos_theta_light).mean()
         assert abs(mean_cos - 2.0 / 3.0) < 0.01
         np.testing.assert_allclose(
-            np.asarray(e.energy[:, 0]),
+            np.asarray(e.energy.x),
             intensity * np.asarray(e.cos_theta_light), rtol=1e-5,
         )
         # Positions on the light triangle plane (z = 1.26002)
-        np.testing.assert_allclose(np.asarray(e.position[:, 2]), 1.26002,
+        np.testing.assert_allclose(np.asarray(e.position.z), 1.26002,
                                    atol=1e-5)
 
     def test_get_radiance_one_sided(self, scenes):
         scene = scenes[1]
         n = 4
         idx = jnp.zeros((n,), jnp.int32)
-        down = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
-        up = -down
-        normal = np.asarray(scene.lights.frame_z[0])
+        fz = scene.lights.frame_z
+        normal = np.array([float(fz.x[0]), float(fz.y[0]), float(fz.z[0])])
+        mk = lambda v: from_array(jnp.asarray(
+            np.broadcast_to(v, (n, 3)).astype(np.float32)
+        ))
         # The ceiling light emits along its normal; from the opposite side
         # radiance is zero.
         r_from_below = light_ops.get_radiance(
-            scene.lights, idx, scene.scene_sphere,
-            jnp.asarray(-normal)[None].repeat(n, 0),
+            scene.lights, idx, scene.scene_sphere, mk(-normal)
         )
         r_from_above = light_ops.get_radiance(
-            scene.lights, idx, scene.scene_sphere,
-            jnp.asarray(normal)[None].repeat(n, 0),
+            scene.lights, idx, scene.scene_sphere, mk(normal)
         )
-        assert np.asarray(r_from_below.radiance).max() > 0
-        assert np.asarray(r_from_above.radiance).max() == 0
+        assert np.asarray(r_from_below.radiance.to_array()).max() > 0
+        assert np.asarray(r_from_above.radiance.to_array()).max() == 0
 
 
 class TestDeltaLights:
@@ -88,8 +93,10 @@ class TestDeltaLights:
         pt = int(np.nonzero(kinds == 2)[0][0])
         n = 1024
         idx = jnp.full((n,), pt, jnp.int32)
+        d1, d2 = _rand2(n, 3)
+        p1, p2 = _rand2(n, 4)
         e = light_ops.emit(
-            scene.lights, idx, scene.scene_sphere, _rand2(n, 3), _rand2(n, 4)
+            scene.lights, idx, scene.scene_sphere, d1, d2, p1, p2
         )
         np.testing.assert_allclose(
             np.asarray(e.emission_pdf_w), INV_PI_F * 0.25, rtol=1e-6
@@ -102,15 +109,19 @@ class TestDeltaLights:
         d = int(np.nonzero(kinds == 1)[0][0])
         n = 4096
         idx = jnp.full((n,), d, jnp.int32)
+        d1, d2 = _rand2(n, 5)
+        p1, p2 = _rand2(n, 6)
         e = light_ops.emit(
-            scene.lights, idx, scene.scene_sphere, _rand2(n, 5), _rand2(n, 6)
+            scene.lights, idx, scene.scene_sphere, d1, d2, p1, p2
         )
-        center = np.asarray(scene.scene_sphere.center)
+        center = np.asarray(scene.scene_sphere.center.to_array())
         radius = float(scene.scene_sphere.radius)
-        dist = np.linalg.norm(np.asarray(e.position) - center, axis=-1)
+        dist = np.linalg.norm(
+            np.asarray(e.position.to_array()) - center, axis=-1
+        )
         assert (dist <= radius * np.sqrt(2.0) + 1e-4).all()
         # all directions identical (delta)
-        assert np.asarray(e.direction).std(axis=0).max() < 1e-6
+        assert np.asarray(e.direction.to_array()).std(axis=0).max() < 1e-4
 
 
 class TestBackground:
@@ -121,13 +132,14 @@ class TestBackground:
         n = 128
         idx = jnp.full((n,), bg, jnp.int32)
         g = np.random.default_rng(7).normal(size=(n, 3))
-        dirs = jnp.asarray(
+        dirs = from_array(jnp.asarray(
             g / np.linalg.norm(g, axis=-1, keepdims=True), jnp.float32
-        )
+        ))
         r = light_ops.get_radiance(scene.lights, idx, scene.scene_sphere, dirs)
         expect = np.array([135, 206, 250]) / 255.0
         np.testing.assert_allclose(
-            np.asarray(r.radiance), expect[None].repeat(n, 0), rtol=1e-5
+            np.asarray(r.radiance.to_array()), expect[None].repeat(n, 0),
+            rtol=1e-5,
         )
         np.testing.assert_allclose(
             np.asarray(r.direct_pdf_a), INV_PI_F * 0.25, rtol=1e-6
