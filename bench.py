@@ -26,18 +26,23 @@ def main():
     res = 512
     scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
 
-    run = lambda it: vcm.render_iteration_with_stats(scene, it, res, res)
+    run = lambda it: vcm.render_iteration_with_stats(
+        scene, it, res, res, pair_factor=32
+    )
 
-    # Warmup / compile.
-    fb, rays = run(0)
-    fb.block_until_ready()
+    import jax.numpy as jnp
+
+    # Warmup / compile (block via a tiny transfer: block_until_ready is not
+    # reliable through this container's tunneled backend).
+    fb, rays, overflow = run(0)
+    float(jnp.sum(fb))
+    assert int(overflow) == 0, "merge pair cap overflow; raise pair_factor"
 
     iters = 5
     t0 = time.time()
-    total_rays = 0
     for it in range(1, iters + 1):
-        fb, rays = run(it)
-    fb.block_until_ready()
+        fb, rays, overflow = run(it)
+        float(jnp.sum(fb))
     elapsed = time.time() - t0
     total_rays = int(rays) * iters  # per-iteration count is ~constant
 

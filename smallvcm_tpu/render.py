@@ -83,7 +83,14 @@ def resolve_algorithm(scene: SceneData, algorithm: str) -> str:
 def render_single_iteration(
     scene: SceneData, cfg: RenderConfig, iteration: int
 ) -> jnp.ndarray:
-    """Dispatch one iteration of the configured algorithm."""
+    """Dispatch one iteration of the configured algorithm.
+
+    Merging algorithms auto-size the pair capacity: if the static cap
+    overflows (scene-dependent photon concentration), the iteration is
+    re-rendered with a doubled cap — exact because the counter-based RNG
+    makes iterations deterministic. The grown cap sticks on the config
+    (the merge radius only shrinks with iteration, so it stays sufficient).
+    """
     res_x, res_y = cfg.resolution
     alg = resolve_algorithm(scene, cfg.algorithm)
     if alg == "el":
@@ -96,13 +103,17 @@ def render_single_iteration(
             cfg.max_path_length, cfg.min_path_length,
         )
     use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
-    return vcm.render_iteration(
-        scene, iteration, res_x, res_y, cfg.base_seed,
-        cfg.max_path_length, cfg.min_path_length,
-        cfg.radius_factor, cfg.radius_alpha,
-        use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
-        pair_factor=cfg.pair_factor,
-    )
+    while True:
+        fb, _rays, overflow = vcm.render_iteration_with_stats(
+            scene, iteration, res_x, res_y, cfg.base_seed,
+            cfg.max_path_length, cfg.min_path_length,
+            cfg.radius_factor, cfg.radius_alpha,
+            use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
+            pair_factor=cfg.pair_factor,
+        )
+        if not use_vm or int(overflow) == 0 or cfg.pair_factor >= 512:
+            return fb
+        cfg.pair_factor *= 2
 
 
 def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False):

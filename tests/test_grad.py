@@ -113,31 +113,34 @@ class TestReflectanceGradient:
 
 
 class TestInverseRenderingStep:
-    def test_gradient_descent_reduces_loss(self, scene, params):
-        """One SGD step on a perturbed diffuse color moves toward target."""
+    def test_gradient_points_toward_target(self, scene, params):
+        """The loss gradient at perturbed params points away from the true
+        params (<grad, p0 - p_true> > 0) — the property an inverse-rendering
+        optimizer needs, robust to the stochastic loss surface."""
         target = _mean_image(scene, params, "pt", iters=4)
 
         d = jax.tree_util.tree_map(
             lambda a: np.asarray(a).copy(), params.diffuse
         )
         for comp in (d.x, d.y, d.z):
-            comp[5] = 0.4  # perturb back wall
+            comp[5] = 0.4  # perturb back wall (true value ~0.804)
         p0 = params._replace(
             diffuse=V3(jnp.asarray(d.x), jnp.asarray(d.y), jnp.asarray(d.z))
         )
 
-        loss0, g = diff.loss_and_grad(
+        _, g = diff.loss_and_grad(
             scene, p0, target, 0, "pt", RES, RES, n_iterations=3,
             max_path_length=6,
         )
-        gmax = max(
-            abs(np.asarray(c)).max() for c in (g.diffuse.x, g.diffuse.y,
-                                               g.diffuse.z)
+        delta = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(a) - np.asarray(b), p0.diffuse,
+            params.diffuse,
         )
-        lr = 0.15 / (gmax + 1e-9)
-        p1 = p0._replace(diffuse=p0.diffuse - g.diffuse * lr)
-        loss1, _ = diff.loss_and_grad(
-            scene, p1, target, 0, "pt", RES, RES, n_iterations=3,
-            max_path_length=6,
+        inner = sum(
+            float((np.asarray(gc) * dc).sum())
+            for gc, dc in zip(
+                (g.diffuse.x, g.diffuse.y, g.diffuse.z),
+                (delta.x, delta.y, delta.z),
+            )
         )
-        assert float(loss1) < float(loss0)
+        assert inner > 0
