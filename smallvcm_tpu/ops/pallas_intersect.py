@@ -1,0 +1,186 @@
+"""Pallas TPU kernel for the ray-scene intersection sweep.
+
+The XLA version (ops/intersect.py) runs one 262k-ray closest-hit sweep in
+~0.8 ms on a v5e — roughly 10x off the VPU/HBM roofline because the [N,T]
+broadcasts materialize through HBM between fusions. This kernel keeps a tile
+of rays resident in VMEM, loops the (tiny) primitive list from VMEM-resident
+scene tables, and writes hit records once, fusing the whole sweep.
+
+The scene tables are passed as padded [P_pad] component arrays (P_pad =
+multiple of 8) living in VMEM for the kernel's lifetime; rays are tiled over
+a 1-D grid. Numerics are identical to ops/intersect.py (same two-sided
+triangle test, same f32 stable sphere quadratic, same guards).
+
+Closest-hit only — occlusion tests reuse the same kernel via a tmax compare
+on the returned distance (cheaper than a dedicated any-hit on TPU since the
+sweep is compute-bound on the VPU either way).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.vec3 import V3
+
+BIG_DIST = 1e36
+_TILE = 2048  # rays per grid step; [TILE] f32 x ~20 live arrays ~ 160 KB VMEM
+
+
+def _kernel(
+    tri_data_ref,  # [10, Tp] : p0(3) p1(3) p2(3) + pad  — padded triangles
+    tri_n_ref,     # [4, Tp]  : normal(3) + matid(1)
+    sph_ref,       # [6, Sp]  : center(3), radius, matid, valid
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # [TILE] rays
+    dist_ref, prim_ref,  # outputs [TILE]
+    *, n_tri: int, n_sph: int,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    best_t = jnp.full(ox.shape, BIG_DIST, jnp.float32)
+    best_p = jnp.full(ox.shape, -1, jnp.int32)
+
+    def tri_body(i, carry):
+        best_t, best_p = carry
+        p0x, p0y, p0z = tri_data_ref[0, i], tri_data_ref[1, i], tri_data_ref[2, i]
+        p1x, p1y, p1z = tri_data_ref[3, i], tri_data_ref[4, i], tri_data_ref[5, i]
+        p2x, p2y, p2z = tri_data_ref[6, i], tri_data_ref[7, i], tri_data_ref[8, i]
+        nx, ny, nz = tri_n_ref[0, i], tri_n_ref[1, i], tri_n_ref[2, i]
+
+        aox, aoy, aoz = p0x - ox, p0y - oy, p0z - oz
+        box_, boy, boz = p1x - ox, p1y - oy, p1z - oz
+        cox, coy, coz = p2x - ox, p2y - oy, p2z - oz
+
+        # v0 = cross(co, bo) . d ; v1 = cross(bo, ao) . d ; v2 = cross(ao, co) . d
+        v0d = ((coy * boz - coz * boy) * dx
+               + (coz * box_ - cox * boz) * dy
+               + (cox * boy - coy * box_) * dz)
+        v1d = ((boy * aoz - boz * aoy) * dx
+               + (boz * aox - box_ * aoz) * dy
+               + (box_ * aoy - boy * aox) * dz)
+        v2d = ((aoy * coz - aoz * coy) * dx
+               + (aoz * cox - aox * coz) * dy
+               + (aox * coy - aoy * cox) * dz)
+
+        inside = ((v0d < 0.0) & (v1d < 0.0) & (v2d < 0.0)) | (
+            (v0d >= 0.0) & (v1d >= 0.0) & (v2d >= 0.0)
+        )
+        denom = nx * dx + ny * dy + nz * dz
+        t = (nx * aox + ny * aoy + nz * aoz) / jnp.where(
+            denom == 0.0, 1.0, denom
+        )
+        ok = inside & (denom != 0.0) & (t > 0.0) & (t < best_t)
+        best_p = jnp.where(ok, i, best_p)
+        best_t = jnp.where(ok, t, best_t)
+        return best_t, best_p
+
+    best_t, best_p = jax.lax.fori_loop(
+        0, n_tri, tri_body, (best_t, best_p)
+    )
+
+    def sph_body(i, carry):
+        best_t, best_p = carry
+        cx, cy, cz = sph_ref[0, i], sph_ref[1, i], sph_ref[2, i]
+        radius = sph_ref[3, i]
+
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        a = dx * dx + dy * dy + dz * dz
+        bq = 2.0 * (dx * ocx + dy * ocy + dz * ocz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - radius * radius
+
+        disc = bq * bq - 4.0 * a * c
+        valid = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-30))
+        qq = jnp.where(bq < 0.0, (-bq - sq) * 0.5, (-bq + sq) * 0.5)
+        t_a = qq / a
+        t_b = c / jnp.where(qq == 0.0, 1.0, qq)
+        t0 = jnp.minimum(t_a, t_b)
+        t1 = jnp.maximum(t_a, t_b)
+        t = jnp.where(valid & (t0 > 0.0), t0,
+                      jnp.where(valid & (t1 > 0.0), t1, BIG_DIST))
+        ok = t < best_t
+        best_p = jnp.where(ok, n_tri + i, best_p)
+        best_t = jnp.where(ok, t, best_t)
+        return best_t, best_p
+
+    if n_sph > 0:
+        best_t, best_p = jax.lax.fori_loop(
+            0, n_sph, sph_body, (best_t, best_p)
+        )
+
+    dist_ref[:] = best_t
+    prim_ref[:] = best_p
+
+
+def _scene_tables(scene):
+    """Pack scene primitives into kernel-friendly [rows, P] f32 tables."""
+    tri = jnp.stack([
+        scene.tri_p0.x, scene.tri_p0.y, scene.tri_p0.z,
+        scene.tri_p1.x, scene.tri_p1.y, scene.tri_p1.z,
+        scene.tri_p2.x, scene.tri_p2.y, scene.tri_p2.z,
+        jnp.zeros_like(scene.tri_p0.x),
+    ])
+    tri_n = jnp.stack([
+        scene.tri_normal.x, scene.tri_normal.y, scene.tri_normal.z,
+        scene.tri_mat.astype(jnp.float32),
+    ])
+    n_sph = scene.sph_mat.shape[0]
+    if n_sph:
+        sph = jnp.stack([
+            scene.sph_center.x, scene.sph_center.y, scene.sph_center.z,
+            scene.sph_radius,
+            scene.sph_mat.astype(jnp.float32),
+            jnp.ones_like(scene.sph_radius),
+        ])
+    else:
+        sph = jnp.zeros((6, 1), jnp.float32)
+    return tri, tri_n, sph
+
+
+@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
+def _sweep(tri, tri_n, sph, ox, oy, oz, dx, dy, dz, n_tri: int, n_sph: int):
+    n = ox.shape[0]
+    n_pad = ((n + _TILE - 1) // _TILE) * _TILE
+    pad = lambda a: jnp.pad(a, (0, n_pad - n))
+    ox, oy, oz = pad(ox), pad(oy), pad(oz)
+    dx, dy, dz = pad(dx), pad(dy), pad(dz)
+
+    grid = (n_pad // _TILE,)
+    ray_spec = pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+    # Scene tables are tiny and read as scalars (one primitive at a time
+    # inside fori_loop) — SMEM is the right home; dynamic scalar loads from
+    # VMEM fail Mosaic lowering.
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.SMEM)
+
+    dist, prim = pl.pallas_call(
+        functools.partial(_kernel, n_tri=n_tri, n_sph=n_sph),
+        grid=grid,
+        in_specs=[full(tri), full(tri_n), full(sph)] + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        ),
+    )(tri, tri_n, sph, ox, oy, oz, dx, dy, dz)
+    return dist[:n], prim[:n]
+
+
+def intersect_pallas(scene, org: V3, direction: V3):
+    """Closest-hit sweep -> (dist [N], prim_index [N] or -1).
+
+    Matches ops/intersect.py numerics; hit attribute resolution (material,
+    normal, light id) stays in XLA where the small-table gathers are cheap.
+    """
+    tri, tri_n, sph = _scene_tables(scene)
+    n_tri = scene.tri_mat.shape[0]
+    n_sph = scene.sph_mat.shape[0]
+    return _sweep(
+        tri, tri_n, sph, org.x, org.y, org.z,
+        direction.x, direction.y, direction.z, n_tri, n_sph,
+    )
