@@ -603,15 +603,23 @@ def merge_stage(
     ph_valid = flat(light_verts.valid)
 
     grid = grid_ops.build(ph_pos, ph_valid, misc.radius, num_cells)
+    # Cells beyond the packed-count capacity would silently truncate; the
+    # observed max is ~20 so this only guards pathological inputs.
+    cell_overflow = jnp.maximum(
+        grid.max_occupancy - ((1 << grid_ops._COUNT_BITS) - 1), 0
+    )
 
     q_pos = flatv(queries.position)
     q_valid = flat(queries.valid)
-    starts, counts = grid_ops.query_cell_ranges(grid, num_cells, q_pos)
+    starts, counts = grid_ops.query_cell_ranges(
+        grid, num_cells, q_pos, packed=grid_ops.packed_ranges(grid)
+    )
     counts = counts * q_valid[:, None].astype(counts.dtype)
 
     qc_idx, photon_pos, pair_ok, total_pairs, overflow = grid_ops.expand_pairs(
         starts, counts, pair_cap
     )
+    overflow = overflow + cell_overflow
     q_idx = qc_idx // 8  # flattened query id per pair
 
     ph_sorted = grid.sorted_idx[jnp.minimum(photon_pos, m - 1)]

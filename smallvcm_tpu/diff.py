@@ -5,12 +5,13 @@ wavefront pipeline — path tracing, BPT connections, and VCM photon merging —
 is jax.grad-able w.r.t. a parameter pytree of material reflectances, Phong
 exponents, IORs, and light intensities.
 
-Gradient strategy (see ops/bsdf.py setup): discrete sampling decisions (BSDF
-lobe choice, Russian roulette) use stop_gradient'ed probabilities, freezing
-the sampling distribution, so what remains is a pure reparameterized
-estimator — unbiased for parameters that enter the integrand continuously.
-Continuous sampling transforms (e.g. the Phong-exponent power-cosine lobe)
-keep gradients, as do pdfs and MIS weights.
+Gradient strategy (see ops/bsdf.py): all probabilities stay live under AD.
+Discrete decisions (BSDF lobe choice, Russian roulette) are u < threshold
+comparisons with zero derivative a.e.; because survivors carry 1/probability
+weights, differentiating through those live weights exactly compensates the
+decision-boundary terms — the estimator's gradient is unbiased. Continuous
+sampling transforms (e.g. the Phong-exponent power-cosine lobe) contribute
+standard reparameterized gradients.
 """
 
 from __future__ import annotations

@@ -116,11 +116,26 @@ def build(pos, valid, radius, num_cells: int) -> HashGrid:
     )
 
 
-def query_cell_ranges(grid: HashGrid, num_cells: int, qpos):
+# 22 bits for the sorted-array start (supports 4.1M photons) + 10 bits for
+# the per-cell count (max observed ~20; overflow is reported by callers via
+# max_occupancy).
+_COUNT_BITS = 10
+
+
+def packed_ranges(grid: HashGrid):
+    """(start << COUNT_BITS | count) per cell: halves the per-query gather
+    traffic in query_cell_ranges (one gather instead of two)."""
+    count = jnp.minimum(grid.cell_count, (1 << _COUNT_BITS) - 1)
+    return (grid.cell_start << _COUNT_BITS) | count
+
+
+def query_cell_ranges(grid: HashGrid, num_cells: int, qpos, packed=None):
     """Per-query (start, count) of the 8 probed cells.
 
     qpos: V3 of [Q]. Returns (starts [Q,8] int32, counts [Q,8] int32).
     Queries outside the particle bbox probe nothing (hashgrid.hxx:116-122).
+    Pass ``packed_ranges(grid)`` to fetch both values with one gather per
+    cell.
     """
     in_bbox = (
         (qpos.x >= grid.bbox_min_x) & (qpos.x <= grid.bbox_max_x)
@@ -149,10 +164,15 @@ def query_cell_ranges(grid: HashGrid, num_cells: int, qpos):
         cy = by + (sy if bit & 2 else 0)
         cz = bz + (sz if bit & 4 else 0)
         hc = _hash_cell(cx, cy, cz, num_cells)
-        s = grid.cell_start[hc]
-        c = jnp.where(in_bbox, grid.cell_count[hc], 0)
+        if packed is not None:
+            p = packed[hc]
+            s = p >> _COUNT_BITS
+            c = p & ((1 << _COUNT_BITS) - 1)
+        else:
+            s = grid.cell_start[hc]
+            c = grid.cell_count[hc]
         starts.append(s)
-        counts.append(c)
+        counts.append(jnp.where(in_bbox, c, 0))
     return jnp.stack(starts, axis=1), jnp.stack(counts, axis=1)
 
 
