@@ -57,6 +57,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--radius-alpha", type=float, default=0.75)
     p.add_argument("--devices", type=int, default=0,
                    help="shard paths over this many devices (0 = all local)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print per-iteration luminance/timing metrics")
     return p
 
 
@@ -104,8 +106,9 @@ def main(argv=None) -> int:
     if resolved != algorithm:
         print("Switching from PPM to BPM (scene mixes specular and "
               "non-specular materials)")
-    print(f"Running: {ALGORITHM_NAMES[algorithm]}...", end=" ", flush=True)
-    img, elapsed, iters = render(scene, cfg)
+    print(f"Running: {ALGORITHM_NAMES[algorithm]}...",
+          end="\n" if args.verbose else " ", flush=True)
+    img, elapsed, iters = render(scene, cfg, verbose=args.verbose)
     print(f"done in {elapsed:.2f} s ({iters} iterations)")
 
     save_image(img, output)

@@ -120,21 +120,35 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False):
     """Progressive render. Returns (image [resY,resX,3], seconds, iterations).
 
     Like smallvcm.cxx:52-151: -t (max_time) takes precedence over -i; the
-    returned image is the average over completed iterations.
+    returned image is the average over completed iterations. With
+    ``verbose``, prints per-iteration metrics (total luminance and
+    iteration wall time — the observability surface the reference defines
+    but never calls, framebuffer.hxx:89-102).
     """
+    from .io.framebuffer import total_luminance
+
     res_x, res_y = cfg.resolution
     accum = jnp.zeros((res_y, res_x, 3), jnp.float32)
+
+    def step(it, accum):
+        t0 = time.time()
+        accum = accum + render_single_iteration(scene, cfg, it)
+        if verbose:
+            lum = float(total_luminance(accum)) / (it + 1)
+            print(f"  iter {it}: luminance={lum:.1f} "
+                  f"dt={time.time() - t0:.3f}s", flush=True)
+        return accum
 
     start = time.time()
     iters_done = 0
     if cfg.max_time > 0:
         while time.time() - start < cfg.max_time:
-            accum = accum + render_single_iteration(scene, cfg, iters_done)
+            accum = step(iters_done, accum)
             accum.block_until_ready()
             iters_done += 1
     else:
         for it in range(cfg.iterations):
-            accum = accum + render_single_iteration(scene, cfg, it)
+            accum = step(it, accum)
             iters_done += 1
         accum.block_until_ready()
     elapsed = time.time() - start

@@ -275,6 +275,7 @@ class _SceneBuilder:
 def load_cornell_box(resolution, box_mask: int = DEFAULT_MASK) -> SceneData:
     """Procedural Cornell-box build replicating scene.hxx:132-385."""
     if (box_mask & BOTH_LARGE_SPHERES) == BOTH_LARGE_SPHERES:
+        print("Cannot have both large balls, using mirror\n")
         box_mask &= ~LARGE_GLASS_SPHERE
 
     light_ceiling = (box_mask & LIGHT_CEILING) != 0
