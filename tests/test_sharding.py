@@ -63,6 +63,41 @@ class TestShardingInvariance:
         np.testing.assert_allclose(img8, img1, atol=1e-4, rtol=1e-4)
 
 
+@needs_8_devices
+def test_gradient_through_sharded_render(scene):
+    """Parameter gradients flow through shard_map (all-gather + psum have
+    transpose rules): 8-device grad == single-device grad."""
+    import jax.numpy as jnp
+
+    from smallvcm_tpu import diff
+
+    params = diff.extract_params(scene)
+    mesh = make_mesh(8)
+
+    def loss_sharded(p):
+        s = diff.apply_params(scene, p)
+        img = sharded_render_iteration(
+            mesh, s, 0, RES, RES, max_path_length=4,
+            use_vc=True, use_vm=False,
+        )
+        return jnp.mean(img)
+
+    def loss_single(p):
+        s = diff.apply_params(scene, p)
+        img = vcm.render_iteration(
+            s, 0, RES, RES, max_path_length=4, use_vc=True, use_vm=False
+        )
+        return jnp.mean(img)
+
+    g8 = jax.grad(loss_sharded)(params)
+    g1 = jax.grad(loss_single)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g8),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
