@@ -11,7 +11,7 @@ device mesh — see parallel/sharding.py).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -114,6 +114,8 @@ def render_single_iteration(
         if not use_vm or int(overflow) == 0 or cfg.pair_factor >= 512:
             return fb
         cfg.pair_factor *= 2
+        print(f"[smallvcm_tpu] merge pair cap overflow; retrying iteration "
+              f"{iteration} with pair_factor={cfg.pair_factor}", flush=True)
 
 
 def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False):
