@@ -700,7 +700,7 @@ def merge_stage(
         zeros.at[q2s].add(contrib.z, mode="drop"),
     )
     q_thr = flatv(queries.throughput)
-    return q_thr * acc * misc.vm_normalization, overflow
+    return q_thr * acc * misc.vm_normalization, overflow, total_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -756,7 +756,7 @@ def render_iteration_core(
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
             ray_count = jax.lax.psum(ray_count, axis_name)
-        return out, ray_count, jnp.zeros((), jnp.int32)
+        return out, ray_count, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
 
     if use_vm and axis_name is not None:
         # Cross-shard photon exchange: gather every shard's vertices so local
@@ -913,10 +913,11 @@ def render_iteration_core(
 
     # ---- Stage 3: deferred merging.
     merge_overflow = jnp.zeros((), jnp.int32)
+    merge_pairs = jnp.zeros((), jnp.int32)
     if use_vm:
         num_cells = 2 * n_paths_global  # perf knob only; results exact
         pair_cap = pair_factor * n
-        mc, merge_overflow = merge_stage(
+        mc, merge_overflow, merge_pairs = merge_stage(
             scene, misc, queries, light_verts_global, num_cells, pair_cap,
             ppm, max_path_length, min_path_length,
         )
@@ -933,7 +934,8 @@ def render_iteration_core(
         out = jax.lax.psum(out, axis_name)
         ray_count = jax.lax.psum(ray_count, axis_name)
         merge_overflow = jax.lax.psum(merge_overflow, axis_name)
-    return out, ray_count, merge_overflow
+        merge_pairs = jax.lax.psum(merge_pairs, axis_name)
+    return out, ray_count, merge_overflow, merge_pairs
 
 
 _STATIC = (
@@ -962,7 +964,7 @@ def render_iteration(
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
     pix = jnp.arange(n, dtype=jnp.uint32)
-    fb, _, _ = render_iteration_core(
+    fb, _, _, _ = render_iteration_core(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=None,
@@ -987,11 +989,12 @@ def render_iteration_with_stats(
     ppm: bool = False,
     pair_factor: int = 24,
 ):
-    """Like render_iteration but also returns (ray_count, merge_overflow):
-    traced rays (path segments + shadow/occlusion rays — the reference-
-    comparable work metric) and the number of merge candidate pairs dropped
-    by the static pair cap (0 means the merge was exact; raise pair_factor
-    otherwise)."""
+    """Like render_iteration but also returns (ray_count, merge_overflow,
+    merge_pairs): traced rays (path segments + shadow/occlusion rays — the
+    reference-comparable work metric), merge candidate pairs dropped by the
+    static pair cap (0 means the merge was exact), and the total candidate
+    pair count (lets drivers right-size the cap: phase-1 gather cost scales
+    with the cap, not actual pairs)."""
     n = res_x * res_y
     pix = jnp.arange(n, dtype=jnp.uint32)
     return render_iteration_core(

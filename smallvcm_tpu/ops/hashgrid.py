@@ -185,12 +185,24 @@ def expand_pairs(starts, counts, pair_cap: int):
     the grid's sorted order. Uses the scatter-boundary + cumsum segment
     trick — cost scales with actual candidates, not max cell occupancy.
     """
+    q_n = counts.shape[0]
     qc = counts.reshape(-1)            # [Q*8]
     st = starts.reshape(-1)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(qc)[:-1].astype(jnp.int32)]
+    # Hierarchical exclusive prefix: one [Q] cumsum + an 8-wide axis-1
+    # prefix instead of a [Q*8] cumsum (the long cumsum measured ~0.5 s at
+    # 21M elements).
+    per_q = jnp.sum(counts, axis=1)    # [Q]
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(per_q)[:-1].astype(jnp.int32)]
     )
-    total = offs[-1] + qc[-1]
+    prefix8 = jnp.concatenate(
+        [jnp.zeros((q_n, 1), jnp.int32),
+         jnp.cumsum(counts, axis=1)[:, :-1].astype(jnp.int32)],
+        axis=1,
+    )
+    offs = (base[:, None] + prefix8).reshape(-1)
+    total = base[-1] + per_q[-1]
     overflow = jnp.maximum(total - pair_cap, 0)
 
     # Segment id per pair: scatter each non-empty segment's id at its start

@@ -71,7 +71,7 @@ def sharded_render_iteration(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(AXIS)),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         # Loop carries start as zeros (replicated) and become shard-varying
         # inside fori_loop; skip the static varying-axes check.
         check_vma=False,
@@ -83,7 +83,7 @@ def sharded_render_iteration(
             use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=AXIS,
         )
 
-    fb, _rays, _overflow = run(scene, pix)
+    fb, _rays, _overflow, _pairs = run(scene, pix)
     return fb
 
 

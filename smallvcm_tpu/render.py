@@ -104,7 +104,7 @@ def render_single_iteration(
         )
     use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
     while True:
-        fb, _rays, overflow = vcm.render_iteration_with_stats(
+        fb, _rays, overflow, pairs = vcm.render_iteration_with_stats(
             scene, iteration, res_x, res_y, cfg.base_seed,
             cfg.max_path_length, cfg.min_path_length,
             cfg.radius_factor, cfg.radius_alpha,
@@ -112,6 +112,15 @@ def render_single_iteration(
             pair_factor=cfg.pair_factor,
         )
         if not use_vm or int(overflow) == 0 or cfg.pair_factor >= 512:
+            if use_vm:
+                # Right-size the cap for the NEXT iteration: the merge's
+                # phase-1 gather cost scales with the cap, and the radius
+                # schedule shrinks the pair count monotonically. Power-of-2
+                # buckets keep recompiles rare (and compile-cached).
+                n = res_x * res_y
+                needed = max(8, int(np.ceil(int(pairs) * 1.2 / n)))
+                bucket = 1 << (needed - 1).bit_length()
+                cfg.pair_factor = max(bucket, 8)
             return fb
         cfg.pair_factor *= 2
         print(f"[smallvcm_tpu] merge pair cap overflow; retrying iteration "
