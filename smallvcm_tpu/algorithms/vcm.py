@@ -625,14 +625,50 @@ def merge_stage(
     ph_sorted = grid.sorted_idx[jnp.minimum(photon_pos, m - 1)]
     pair_ok = pair_ok & (photon_pos < m)
 
-    # ---- Phase 1: cheap prefilter — positions + arithmetic metadata only.
-    # TPU gathers cost ~35 ns/element, so survivors (typically ~15% of
-    # candidates) are compacted before the full payload is touched.
-    pp = V3(ph_pos.x[ph_sorted], ph_pos.y[ph_sorted], ph_pos.z[ph_sorted])
-    qp = V3(q_pos.x[q_idx], q_pos.y[q_idx], q_pos.z[q_idx])
+    # ---- Phase 1: cheap prefilter. Scattered-gather cost scales with
+    # elements touched, so positions are packed as 16-bit fixed point
+    # (2 int32 per point instead of 3 f32): a conservative distance test
+    # with one-quantum slack (span/65535 ~ 4e-5 scene units << radius)
+    # rejects ~85% of candidates; survivors get the exact test in phase 3.
     # (No validity gather needed: invalid photons sort into the sentinel
     # cell, which no CSR range covers.)
-    pair_ok = pair_ok & (len_sqr(pp - qp) <= misc.radius_sqr)
+    span_x = jnp.maximum(grid.bbox_max_x - grid.bbox_min_x, 1e-30)
+    span_y = jnp.maximum(grid.bbox_max_y - grid.bbox_min_y, 1e-30)
+    span_z = jnp.maximum(grid.bbox_max_z - grid.bbox_min_z, 1e-30)
+
+    def quant(a, mn, span):
+        q16 = jnp.clip((a - mn) * (65535.0 / span), 0.0, 65535.0)
+        return q16.astype(jnp.int32)
+
+    def pack(pos):
+        qx = quant(pos.x, grid.bbox_min_x, span_x)
+        qy = quant(pos.y, grid.bbox_min_y, span_y)
+        qz = quant(pos.z, grid.bbox_min_z, span_z)
+        return (qx << 16) | qy, qz
+
+    ph_xy, ph_z = pack(ph_pos)
+    q_xy, q_z = pack(q_pos)
+
+    pxy = ph_xy[ph_sorted]
+    pz = ph_z[ph_sorted]
+    qxy = q_xy[q_idx]
+    qz = q_z[q_idx]
+
+    step_x = span_x * (1.0 / 65535.0)
+    step_y = span_y * (1.0 / 65535.0)
+    step_z = span_z * (1.0 / 65535.0)
+    dxf = jnp.maximum(
+        jnp.abs((pxy >> 16) - (qxy >> 16)).astype(jnp.float32) * step_x
+        - step_x, 0.0,
+    )
+    dyf = jnp.maximum(
+        jnp.abs((pxy & 0xFFFF) - (qxy & 0xFFFF)).astype(jnp.float32) * step_y
+        - step_y, 0.0,
+    )
+    dzf = jnp.maximum(
+        jnp.abs(pz - qz).astype(jnp.float32) * step_z - step_z, 0.0
+    )
+    pair_ok = pair_ok & (dxf * dxf + dyf * dyf + dzf * dzf <= misc.radius_sqr)
 
     # Path length window (vertexcm.hxx:132-135) — slot index is the flat
     # index's leading axis, so lengths need no gathers.
@@ -655,6 +691,11 @@ def merge_stage(
 
     # ---- Phase 3: full payload for survivors only.
     gv = lambda v, i: V3(v.x[i], v.y[i], v.z[i])
+
+    # Exact distance recheck (phase 1 was conservative by one quantum).
+    pp3 = gv(ph_pos, p2)
+    qp3 = gv(q_pos, q2)
+    ok2 = ok2 & (len_sqr(pp3 - qp3) <= misc.radius_sqr)
 
     cam_in = gv(flatv(queries.in_dir), q2)
     cam_nrm = gv(flatv(queries.normal), q2)
