@@ -1,7 +1,13 @@
 # Convenience targets (the reference builds with one g++ line, Makefile:4-5;
-# here there is nothing to compile — XLA jits the compute at run time).
+# XLA jits the device compute at run time; `make native` builds the
+# host-side C++ image codec, which io/native_codec.py otherwise builds on
+# first use).
 
-.PHONY: test bench report parity smoke
+.PHONY: test bench report parity smoke native
+
+native:
+	g++ -O3 -shared -fPIC -o smallvcm_tpu/native/libsvcmcodec.so \
+		smallvcm_tpu/native/codec.cpp
 
 test:
 	python -m pytest tests/ -q

@@ -18,11 +18,13 @@ component-planar (SoA) vectors:
      (the camera vertex + its MIS state) are recorded per bounce instead of
      merging inline.
   4. *Merge stage* (merging only): all recorded queries are processed in
-     one pass — exact (query, photon) candidate pairs are expanded from the
-     grid's CSR ranges (work scales with actual candidates, not padded cell
-     capacity), distance-filtered, evaluated, and scatter-added back to the
-     owning pixel. Merging is additive and independent of the walk, so
-     deferring it is exactly equivalent to the reference's inline loop.
+     one pass — photons/queries are compacted, exact (query, photon)
+     candidate pairs are expanded from the grid's CSR ranges (work scales
+     with actual candidates, not padded cell capacity), distance-filtered,
+     evaluated, and scatter-added back to the owning pixel; every per-pair
+     data movement is a single wide-row gather (see merge_stage). Merging
+     is additive and independent of the walk, so deferring it is exactly
+     equivalent to the reference's inline loop.
 
 The per-lane MIS recursion implements the tech-report equations exactly as
 the reference does; [tech. rep. (NN)] refs use vertexcm.hxx's numbering.
@@ -518,12 +520,17 @@ def direct_illumination(
 
 
 def connect_vertices(
-    scene: SceneData, misc: VcmMisc, cam_state: SubPathState, cam_hit: V3,
+    scene: SceneData, misc: VcmMisc, cam_d_vcm, cam_d_vc, cam_hit: V3,
     cam_b: bsdf_ops.BsdfState, lv_pos: V3, lv_in_dir: V3, lv_normal: V3,
     lv_mat, lv_d_vcm, lv_d_vc, lv_valid,
 ) -> V3:
     """ConnectVertices (vertexcm.hxx:743-809): contribution (without the
-    camera/light throughputs, which the caller multiplies)."""
+    camera/light throughputs, which the caller multiplies).
+
+    All operands may be [maxL*N]-flat: the camera stage batches every
+    (camera vertex, stored light vertex) pair of a bounce into ONE call so
+    the occlusion sweep and BSDF evaluations run at full width instead of
+    maxL sequential N-lane launches."""
     direction_raw = lv_pos - cam_hit
     dist2 = jnp.maximum(len_sqr(direction_raw), 1e-30)
     distance = jnp.sqrt(dist2)
@@ -560,8 +567,8 @@ def connect_vertices(
         misc.mis_vm_weight + lv_d_vcm + lv_d_vc * _mis(light_rev_pdf_w)
     )
     w_camera = _mis(light_dir_pdf_a) * (
-        misc.mis_vm_weight + cam_state.d_vcm
-        + cam_state.d_vc * _mis(cam_rev_pdf_w)
+        misc.mis_vm_weight + cam_d_vcm
+        + cam_d_vc * _mis(cam_rev_pdf_w)
     )
     mis_weight = 1.0 / (w_light + 1.0 + w_camera)
 
@@ -580,6 +587,7 @@ def merge_stage(
     scene: SceneData, misc: VcmMisc, queries: StoredVertices,
     light_verts: StoredVertices, num_cells: int, pair_cap: int, ppm: bool,
     max_path_length: int, min_path_length: int,
+    photon_cap: int, query_cap: int, n_paths: int,
 ):
     """Vertex merging over all recorded camera queries in one pass.
 
@@ -588,125 +596,217 @@ def merge_stage(
     mis * f_s(camera, photon_dir) * photon_throughput, summed and scaled by
     vm_normalization * camera_throughput.
 
-    Returns ([Lq*N] V3 contributions (already x camera throughput and
-    normalization), overflow_pairs scalar).
+    Design (all costs measured on v5e): TPU scattered gathers cost ~10-12 ns
+    per ROW independent of row width (<= ~16 x 4B), and narrow scatters cost
+    the same per row while wide scatter rows are ~7x worse. Every data
+    movement here is therefore (a) compacted first — only ~15% of the fixed
+    [maxLen, N] vertex/query slots are live — and (b) moved as ONE wide-row
+    gather per pair/survivor instead of one gather per field:
+
+      1. compact photons -> [photon_cap] (narrow index scatter + wide
+         payload gather), cell-hash and radix-sort them, and pre-permute the
+         payload into cell order so pairs index photons by sorted position
+         with no indirection;
+      2. compact queries -> [query_cap], probe the 8-cell neighborhood
+         (hashgrid.hxx:124-138) with per-cell (start,count) ROW gathers, and
+         bake everything a pair will need into one int32 row per query
+         (CSR offset, position bits, path length, per-cell boundaries);
+      3. expand pairs by segment-carry (scatter segment heads + cummax),
+         then ONE row gather each of the query row and the photon
+         position row gives the exact r^2 test (no quantization) and the
+         path-length window (vertexcm.hxx:132-135);
+      4. compact survivors with a single keys-only sort (flag|pair_id keys),
+         gather full f32 payload rows for survivors only, run the BSDF +
+         MIS [tech. rep. (38)-(39)] math, and scatter-add per query.
+
+    Returns (color_add V3 [n_paths] — per-path merge radiance already scaled
+    by camera throughput and vm normalization, overflow scalar (any dropped
+    photon/query/pair/survivor; caller must retry with bigger caps for an
+    exact image), total_pairs scalar (for right-sizing pair_cap)).
     """
     lq, n = queries.valid.shape
     ll, n_ph = light_verts.valid.shape  # n_ph may exceed n (all-gathered)
-    q = lq * n
+    mq = lq * n
     m = ll * n_ph
+    assert n == n_paths
 
     flat = lambda a: a.reshape((-1,))
-    flatv = lambda v: V3(flat(v.x), flat(v.y), flat(v.z))
+    sg = jax.lax.stop_gradient
+    f2i = lambda a: jax.lax.bitcast_convert_type(sg(a), jnp.int32)
+    i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
 
-    ph_pos = flatv(light_verts.position)
-    ph_valid = flat(light_verts.valid)
+    # Payload rows: [pos3 | in_dir3 | normal3 | throughput3 | d_vcm | d_vm].
+    def payload_rows(v: StoredVertices):
+        cols = [
+            flat(v.position.x), flat(v.position.y), flat(v.position.z),
+            flat(v.in_dir.x), flat(v.in_dir.y), flat(v.in_dir.z),
+            flat(v.normal.x), flat(v.normal.y), flat(v.normal.z),
+            flat(v.throughput.x), flat(v.throughput.y), flat(v.throughput.z),
+            flat(v.d_vcm), flat(v.d_vm),
+        ]
+        return jnp.stack(cols, axis=1)  # [M, 14]
 
-    grid = grid_ops.build(ph_pos, ph_valid, misc.radius, num_cells)
-    # Cells beyond the packed-count capacity would silently truncate; the
-    # observed max is ~20 so this only guards pathological inputs.
-    cell_overflow = jnp.maximum(
-        grid.max_occupancy - ((1 << grid_ops._COUNT_BITS) - 1), 0
+    # ---- 1. Photons: compact, hash, sort, pre-permute. -------------------
+    idx_p, n_p, ovf_p = grid_ops.compact_indices(flat(light_verts.valid),
+                                                 photon_cap)
+    pvalid_c = jnp.arange(photon_cap, dtype=jnp.int32) < n_p
+    pf_c = payload_rows(light_verts)[idx_p]           # [photon_cap, 14]
+    p_mat_c = flat(light_verts.mat_id)[idx_p]
+    p_len_c = idx_p // n_ph + 1                        # slot i = length i+1
+
+    px, py, pz = sg(pf_c[:, 0]), sg(pf_c[:, 1]), sg(pf_c[:, 2])
+    big = jnp.float32(1e36)
+    vmin = lambda a: jnp.min(jnp.where(pvalid_c, a, big))
+    vmax = lambda a: jnp.max(jnp.where(pvalid_c, a, -big))
+    mnx, mny, mnz = vmin(px), vmin(py), vmin(pz)
+    mxx, mxy, mxz = vmax(px), vmax(py), vmax(pz)
+    inv_cell = sg(1.0 / (misc.radius * 2.0))           # hashgrid.hxx:64
+
+    def cell_of(x, y, z):
+        return (
+            jnp.floor((x - mnx) * inv_cell).astype(jnp.int32),
+            jnp.floor((y - mny) * inv_cell).astype(jnp.int32),
+            jnp.floor((z - mnz) * inv_cell).astype(jnp.int32),
+        )
+
+    h = grid_ops._hash_cell(*cell_of(px, py, pz), num_cells)
+    h = jnp.where(pvalid_c, h, jnp.int32(num_cells))   # sentinel cell
+    order = grid_ops.stable_radix_argsort(
+        h.astype(jnp.uint32), grid_ops._ceil_log2(num_cells + 1)
+    ).astype(jnp.int32)
+    cell_count = jnp.zeros((num_cells,), jnp.int32).at[h].add(1, mode="drop")
+    cell_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(cell_count)[:-1].astype(jnp.int32)]
+    )
+    cell_tbl = jnp.stack([cell_start, cell_count], axis=1)  # [C, 2]
+
+    pf_s = pf_c[order]                                  # cell-sorted payload
+    p_mat_s = p_mat_c[order]
+    p_len_s = p_len_c[order]
+    # Phase-1 photon row: position bits + path length, one gather per pair.
+    p1 = jnp.stack(
+        [f2i(pf_s[:, 0]), f2i(pf_s[:, 1]), f2i(pf_s[:, 2]), p_len_s], axis=1
     )
 
-    q_pos = flatv(queries.position)
-    q_valid = flat(queries.valid)
-    starts, counts = grid_ops.query_cell_ranges(
-        grid, num_cells, q_pos, packed=grid_ops.packed_ranges(grid)
+    # ---- 2. Queries: compact + per-query pair-expansion row. --------------
+    idx_q, n_q, ovf_q = grid_ops.compact_indices(flat(queries.valid),
+                                                 query_cap)
+    qvalid_c = jnp.arange(query_cap, dtype=jnp.int32) < n_q
+    qf_c = payload_rows(queries)[idx_q]                 # [query_cap, 14]
+    q_mat_c = flat(queries.mat_id)[idx_q]
+    q_len_c = idx_q // n + 1
+    q_path_c = (idx_q % n).astype(jnp.int32)            # owning path/pixel
+
+    qx, qy, qz = sg(qf_c[:, 0]), sg(qf_c[:, 1]), sg(qf_c[:, 2])
+    in_bbox = (
+        (qx >= mnx) & (qx <= mxx) & (qy >= mny) & (qy <= mxy)
+        & (qz >= mnz) & (qz <= mxz)
+    )  # hashgrid.hxx:116-122
+    bx, by, bz = cell_of(qx, qy, qz)
+    # Nearest 2x2x2 neighborhood by fractional part (hashgrid.hxx:124-138).
+    frac = lambda a, mn: (a - mn) * inv_cell
+    pick = lambda r, b: jnp.where(r - jnp.floor(r) < 0.5, -1, 1).astype(
+        jnp.int32
     )
-    counts = counts * q_valid[:, None].astype(counts.dtype)
+    sx = pick(frac(qx, mnx), bx)
+    sy = pick(frac(qy, mny), by)
+    sz = pick(frac(qz, mnz), bz)
 
-    qc_idx, photon_pos, pair_ok, total_pairs, overflow = grid_ops.expand_pairs(
-        starts, counts, pair_cap
+    starts8 = []
+    counts8 = []
+    live = qvalid_c & in_bbox
+    for bit in range(8):
+        hc = grid_ops._hash_cell(
+            bx + (sx if bit & 1 else 0),
+            by + (sy if bit & 2 else 0),
+            bz + (sz if bit & 4 else 0),
+            num_cells,
+        )
+        rc = cell_tbl[hc]                               # [query_cap, 2] row
+        starts8.append(rc[:, 0])
+        counts8.append(jnp.where(live, rc[:, 1], 0))
+    starts8 = jnp.stack(starts8, axis=1)                # [query_cap, 8]
+    counts8 = jnp.stack(counts8, axis=1)
+
+    per_q = jnp.sum(counts8, axis=1)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(per_q)[:-1].astype(jnp.int32)]
     )
-    overflow = overflow + cell_overflow
-    q_idx = qc_idx // 8  # flattened query id per pair
+    total_pairs = offs[-1] + per_q[-1]
+    ovf_pairs = jnp.maximum(total_pairs - pair_cap, 0)
 
-    ph_sorted = grid.sorted_idx[jnp.minimum(photon_pos, m - 1)]
-    pair_ok = pair_ok & (photon_pos < m)
+    # Inclusive per-cell boundaries b1..b8 and start-minus-prefix adjust so a
+    # pair recovers its photon slot as adj_j + rank with pure arithmetic.
+    incl = jnp.cumsum(counts8, axis=1)                  # [query_cap, 8]
+    excl = incl - counts8
+    adj = starts8 - excl
+    # Query row: [offs | xbits ybits zbits | len | b1..b8 | adj0..adj7].
+    qrow = jnp.concatenate(
+        [
+            offs[:, None], f2i(qx)[:, None], f2i(qy)[:, None],
+            f2i(qz)[:, None], q_len_c[:, None], incl, adj,
+        ],
+        axis=1,
+    )  # [query_cap, 21]
 
-    # ---- Phase 1: cheap prefilter. Scattered-gather cost scales with
-    # elements touched, so positions are packed as 16-bit fixed point
-    # (2 int32 per point instead of 3 f32): a conservative distance test
-    # with one-quantum slack (span/65535 ~ 4e-5 scene units << radius)
-    # rejects ~85% of candidates; survivors get the exact test in phase 3.
-    # (No validity gather needed: invalid photons sort into the sentinel
-    # cell, which no CSR range covers.)
-    span_x = jnp.maximum(grid.bbox_max_x - grid.bbox_min_x, 1e-30)
-    span_y = jnp.maximum(grid.bbox_max_y - grid.bbox_min_y, 1e-30)
-    span_z = jnp.maximum(grid.bbox_max_z - grid.bbox_min_z, 1e-30)
-
-    def quant(a, mn, span):
-        q16 = jnp.clip((a - mn) * (65535.0 / span), 0.0, 65535.0)
-        return q16.astype(jnp.int32)
-
-    def pack(pos):
-        qx = quant(pos.x, grid.bbox_min_x, span_x)
-        qy = quant(pos.y, grid.bbox_min_y, span_y)
-        qz = quant(pos.z, grid.bbox_min_z, span_z)
-        return (qx << 16) | qy, qz
-
-    ph_xy, ph_z = pack(ph_pos)
-    q_xy, q_z = pack(q_pos)
-
-    pxy = ph_xy[ph_sorted]
-    pz = ph_z[ph_sorted]
-    qxy = q_xy[q_idx]
-    qz = q_z[q_idx]
-
-    step_x = span_x * (1.0 / 65535.0)
-    step_y = span_y * (1.0 / 65535.0)
-    step_z = span_z * (1.0 / 65535.0)
-    dxf = jnp.maximum(
-        jnp.abs((pxy >> 16) - (qxy >> 16)).astype(jnp.float32) * step_x
-        - step_x, 0.0,
+    # ---- 3. Pair expansion + exact prefilter. -----------------------------
+    seg_head = jnp.zeros((pair_cap,), jnp.int32).at[offs].max(
+        jnp.where(per_q > 0, jnp.arange(query_cap, dtype=jnp.int32), 0),
+        mode="drop",
     )
-    dyf = jnp.maximum(
-        jnp.abs((pxy & 0xFFFF) - (qxy & 0xFFFF)).astype(jnp.float32) * step_y
-        - step_y, 0.0,
-    )
-    dzf = jnp.maximum(
-        jnp.abs(pz - qz).astype(jnp.float32) * step_z - step_z, 0.0
-    )
-    pair_ok = pair_ok & (dxf * dxf + dyf * dyf + dzf * dzf <= misc.radius_sqr)
+    qseg = jax.lax.cummax(seg_head)
+    qr = qrow[qseg]                                     # [pair_cap, 21]
 
-    # Path length window (vertexcm.hxx:132-135) — slot index is the flat
-    # index's leading axis, so lengths need no gathers.
-    ph_len = ph_sorted // n_ph + 1
-    q_len = q_idx // n + 1
-    total_len = ph_len + q_len
-    pair_ok = pair_ok & (total_len <= max_path_length) & \
-        (total_len >= min_path_length)
+    p_iota = jnp.arange(pair_cap, dtype=jnp.int32)
+    rank = p_iota - qr[:, 0]
+    pair_ok = (p_iota < total_pairs) & (rank >= 0) & (rank < qr[:, 12])
+    # Cell pick: smallest j with rank < b_{j+1}.
+    php = qr[:, 20]
+    for j in range(6, -1, -1):
+        php = jnp.where(rank < qr[:, 5 + j], qr[:, 13 + j], php)
+    php = php + rank
+    php_safe = jnp.clip(php, 0, photon_cap - 1)
 
-    # ---- Phase 2: compact surviving pairs.
-    surv_cap = max(pair_cap // 4, 1024)
-    pos2 = jnp.cumsum(pair_ok.astype(jnp.int32)) - 1
+    pr = p1[php_safe]                                   # [pair_cap, 4]
+    dx = i2f(pr[:, 0]) - i2f(qr[:, 1])
+    dy = i2f(pr[:, 1]) - i2f(qr[:, 2])
+    dz = i2f(pr[:, 2]) - i2f(qr[:, 3])
+    pair_ok = pair_ok & (dx * dx + dy * dy + dz * dz <= misc.radius_sqr)
+    # Path length window (vertexcm.hxx:132-135).
+    total_len = pr[:, 3] + qr[:, 4]
+    pair_ok = pair_ok & (total_len <= max_path_length) & (
+        total_len >= min_path_length
+    )
+
+    # ---- 4. Survivor compaction (keys-only sort) + full evaluation. -------
+    surv_cap = min(pair_cap, max(pair_cap // 4, 1024))
+    key = jnp.where(pair_ok, p_iota, p_iota | (1 << 30)).astype(jnp.uint32)
+    p_c = (jnp.sort(key)[:surv_cap] & jnp.uint32((1 << 30) - 1)).astype(
+        jnp.int32
+    )
     n_surv = jnp.sum(pair_ok.astype(jnp.int32))
-    overflow = overflow + jnp.maximum(n_surv - surv_cap, 0)
-    dst = jnp.where(pair_ok, pos2, surv_cap)  # dropped -> OOB
-    zi = jnp.zeros((surv_cap,), jnp.int32)
-    q2 = zi.at[dst].set(q_idx, mode="drop")
-    p2 = zi.at[dst].set(ph_sorted, mode="drop")
+    ovf_surv = jnp.maximum(n_surv - surv_cap, 0)
     ok2 = jnp.arange(surv_cap, dtype=jnp.int32) < n_surv
 
-    # ---- Phase 3: full payload for survivors only.
-    gv = lambda v, i: V3(v.x[i], v.y[i], v.z[i])
+    meta = jnp.stack([qseg, php_safe], axis=1)          # [pair_cap, 2]
+    meta_c = meta[p_c]
+    qs_c = meta_c[:, 0]
+    pp_c = meta_c[:, 1]
 
-    # Exact distance recheck (phase 1 was conservative by one quantum).
-    pp3 = gv(ph_pos, p2)
-    qp3 = gv(q_pos, q2)
-    ok2 = ok2 & (len_sqr(pp3 - qp3) <= misc.radius_sqr)
+    prow = pf_s[pp_c]                                   # [surv_cap, 14]
+    qrow_f = qf_c[qs_c]
+    rv3 = lambda r, i: V3(r[:, i], r[:, i + 1], r[:, i + 2])
 
-    cam_in = gv(flatv(queries.in_dir), q2)
-    cam_nrm = gv(flatv(queries.normal), q2)
-    cam_mat = flat(queries.mat_id)[q2]
-    cam_b = bsdf_ops.setup(scene.materials, cam_in, cam_nrm, cam_mat, ok2)
-
-    ph_in = gv(flatv(light_verts.in_dir), p2)
-    ph_nrm = gv(flatv(light_verts.normal), p2)
-    ph_mat = flat(light_verts.mat_id)[p2]
+    cam_b = bsdf_ops.setup(
+        scene.materials, rv3(qrow_f, 3), rv3(qrow_f, 6), q_mat_c[qs_c], ok2
+    )
+    ph_in = rv3(prow, 3)
     # Light-vertex continuation probability: reconstruct its BSDF setup.
-    ph_b = bsdf_ops.setup(scene.materials, ph_in, ph_nrm, ph_mat, ok2)
+    ph_b = bsdf_ops.setup(
+        scene.materials, ph_in, rv3(prow, 6), p_mat_s[pp_c], ok2
+    )
 
     light_dir = -ph_in  # the photon's WorldDirFix
     factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
@@ -718,30 +818,37 @@ def merge_stage(
     rev_pdf_w = rev_pdf_w * ph_b.cont_prob
 
     # [tech. rep. (38)-(39)]
-    w_light = flat(light_verts.d_vcm)[p2] * misc.mis_vc_weight + \
-        flat(light_verts.d_vm)[p2] * _mis(dir_pdf_w)
-    w_camera = flat(queries.d_vcm)[q2] * misc.mis_vc_weight + \
-        flat(queries.d_vm)[q2] * _mis(rev_pdf_w)
+    w_light = prow[:, 12] * misc.mis_vc_weight + prow[:, 13] * _mis(dir_pdf_w)
+    w_camera = qrow_f[:, 12] * misc.mis_vc_weight + \
+        qrow_f[:, 13] * _mis(rev_pdf_w)
     if ppm:
         mis_weight = jnp.ones_like(w_light)
     else:
         mis_weight = 1.0 / (w_light + 1.0 + w_camera)
 
-    ph_thr = gv(flatv(light_verts.throughput), p2)
-    contrib = factor * ph_thr * mis_weight
+    contrib = factor * rv3(prow, 9) * mis_weight
     contrib = v3_where(ok2, contrib, 0.0)
 
-    # Scatter-add back to the owning query, then scale by the camera
-    # throughput and the vm normalization.
-    zeros = jnp.zeros((q,), jnp.float32)
-    q2s = jnp.where(ok2, q2, q)  # dropped -> OOB
+    # Per-query accumulation, then scale by the camera throughput + the vm
+    # normalization and route to the owning path.
+    qz_acc = jnp.zeros((query_cap,), jnp.float32)
+    qdst = jnp.where(ok2, qs_c, query_cap)
     acc = V3(
-        zeros.at[q2s].add(contrib.x, mode="drop"),
-        zeros.at[q2s].add(contrib.y, mode="drop"),
-        zeros.at[q2s].add(contrib.z, mode="drop"),
+        qz_acc.at[qdst].add(contrib.x, mode="drop"),
+        qz_acc.at[qdst].add(contrib.y, mode="drop"),
+        qz_acc.at[qdst].add(contrib.z, mode="drop"),
     )
-    q_thr = flatv(queries.throughput)
-    return q_thr * acc * misc.vm_normalization, overflow, total_pairs
+    acc = acc * V3(qf_c[:, 9], qf_c[:, 10], qf_c[:, 11]) * misc.vm_normalization
+
+    pz_out = jnp.zeros((n,), jnp.float32)
+    pdst = jnp.where(qvalid_c, q_path_c, n)
+    color_add = V3(
+        pz_out.at[pdst].add(acc.x, mode="drop"),
+        pz_out.at[pdst].add(acc.y, mode="drop"),
+        pz_out.at[pdst].add(acc.z, mode="drop"),
+    )
+    overflow = ovf_p + ovf_q + ovf_pairs + ovf_surv
+    return color_add, overflow, total_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -766,6 +873,9 @@ def render_iteration_core(
     light_trace_only: bool = False,
     ppm: bool = False,
     pair_factor: int = 24,
+    photon_factor: int = 3,
+    query_factor: int = 3,
+    vm_exchange: str = "allgather",
     axis_name: str | None = None,
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
@@ -799,7 +909,7 @@ def render_iteration_core(
             ray_count = jax.lax.psum(ray_count, axis_name)
         return out, ray_count, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
 
-    if use_vm and axis_name is not None:
+    if use_vm and axis_name is not None and vm_exchange == "allgather":
         # Cross-shard photon exchange: gather every shard's vertices so local
         # camera vertices merge against the global photon map (the reference
         # reads them from shared memory, vertexcm.hxx:530-538).
@@ -812,6 +922,7 @@ def render_iteration_core(
             d_vc=ag(verts.d_vc), d_vm=ag(verts.d_vm), valid=ag(verts.valid),
         )
     else:
+        # Single device, or ring exchange (photons stay sharded; see below).
         light_verts_global = verts
 
     # ---- Stage 2: camera sub-paths (+ query recording for merging).
@@ -894,33 +1005,53 @@ def render_iteration_core(
             rays = rays + jnp.sum(nee_on.astype(jnp.int32))
 
         # VC: connect to this path's light vertices (vertexcm.hxx:498-526).
+        # All maxL slots batch into one [maxL*N] call: one occlusion sweep
+        # and one pair of BSDF evaluations per bounce instead of maxL
+        # sequential N-lane launches.
         if use_vc:
-            def connect_slot(j, cc):
-                color, rays = cc
-                lv_len = j + 1
-                full_len = lv_len + 1 + path_length
-                in_range = (full_len >= min_path_length) & (
-                    full_len <= max_path_length
-                )
-                getv = lambda v: V3(v.x[j], v.y[j], v.z[j])
-                lv_valid = verts.valid[j] & alive & ~b.is_delta & in_range
-                c = connect_vertices(
-                    scene, misc, state, hit_point, b,
-                    getv(verts.position), getv(verts.in_dir),
-                    getv(verts.normal), verts.mat_id[j],
-                    verts.d_vcm[j], verts.d_vc[j], lv_valid,
-                )
-                color = color + v3_where(
-                    lv_valid,
-                    state.throughput * getv(verts.throughput) * c,
-                    0.0,
-                )
-                rays = rays + jnp.sum(lv_valid.astype(jnp.int32))
-                return color, rays
+            m_conn = max_l * n
+            bro = lambda a: jnp.broadcast_to(a, (max_l,) + a.shape) \
+                .reshape((m_conn,) + a.shape[1:])
+            brov = lambda v: V3(bro(v.x), bro(v.y), bro(v.z))
+            fl = lambda a: a.reshape((m_conn,))
+            flv = lambda v: V3(fl(v.x), fl(v.y), fl(v.z))
 
-            color, rays = jax.lax.fori_loop(
-                0, max_l, connect_slot, (color, rays)
+            lv_len = jnp.repeat(
+                jnp.arange(max_l, dtype=jnp.int32) + 1, n
             )
+            full_len = lv_len + 1 + path_length
+            in_range = (full_len >= min_path_length) & (
+                full_len <= max_path_length
+            )
+            lv_valid = fl(verts.valid) & bro(alive & ~b.is_delta) & in_range
+
+            cam_b_t = bsdf_ops.BsdfState(
+                valid=bro(b.valid), mat_id=bro(b.mat_id),
+                frame_x=brov(b.frame_x), frame_y=brov(b.frame_y),
+                frame_z=brov(b.frame_z),
+                local_dir_fix=brov(b.local_dir_fix),
+                is_delta=bro(b.is_delta),
+                prob_diff=bro(b.prob_diff), prob_phong=bro(b.prob_phong),
+                prob_refl=bro(b.prob_refl), prob_refr=bro(b.prob_refr),
+                cont_prob=bro(b.cont_prob),
+                reflect_coeff=bro(b.reflect_coeff),
+            )
+            c = connect_vertices(
+                scene, misc, bro(state.d_vcm), bro(state.d_vc),
+                brov(hit_point), cam_b_t,
+                flv(verts.position), flv(verts.in_dir), flv(verts.normal),
+                fl(verts.mat_id), fl(verts.d_vcm), fl(verts.d_vc), lv_valid,
+            )
+            contrib = v3_where(
+                lv_valid, brov(state.throughput) * flv(verts.throughput) * c,
+                0.0,
+            )
+            c2 = contrib.reshape((max_l, n))
+            color = color + V3(
+                jnp.sum(c2.x, axis=0), jnp.sum(c2.y, axis=0),
+                jnp.sum(c2.z, axis=0),
+            )
+            rays = rays + jnp.sum(lv_valid.astype(jnp.int32))
 
         # VM: record a merge query at this vertex (processed in the deferred
         # merge stage — merging is additive and walk-independent).
@@ -957,17 +1088,40 @@ def render_iteration_core(
     merge_pairs = jnp.zeros((), jnp.int32)
     if use_vm:
         num_cells = 2 * n_paths_global  # perf knob only; results exact
-        pair_cap = pair_factor * n
-        mc, merge_overflow, merge_pairs = merge_stage(
-            scene, misc, queries, light_verts_global, num_cells, pair_cap,
-            ppm, max_path_length, min_path_length,
-        )
-        # Sum each path's per-bounce merge contributions into its color.
-        mc2 = mc.reshape((max_path_length, n))
-        color = color + V3(
-            jnp.sum(mc2.x, axis=0), jnp.sum(mc2.y, axis=0),
-            jnp.sum(mc2.z, axis=0),
-        )
+        if axis_name is not None and vm_exchange == "ring":
+            # Ring exchange (the ring-attention communication pattern from
+            # SURVEY.md §2): each shard's photons visit every shard in
+            # n_dev ppermute hops, merged against the resident camera
+            # queries. Merging is additive over photons, so the sum over
+            # hops equals the all-gather result exactly — but peak photon
+            # memory is per-shard (photon_factor * n instead of
+            # * n_paths_global), the regime where the full photon map
+            # doesn't fit one chip.
+            n_dev = jax.lax.axis_size(axis_name)
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            shift = lambda a: jax.lax.ppermute(a, axis_name, perm)
+
+            def ring_step(_, carry):
+                visiting, color, ovf, pairs = carry
+                mc, o, p = merge_stage(
+                    scene, misc, queries, visiting, num_cells,
+                    pair_factor * n, ppm, max_path_length, min_path_length,
+                    photon_factor * n, query_factor * n, n,
+                )
+                visiting = jax.tree.map(shift, visiting)
+                return visiting, color + mc, ovf + o, pairs + p
+
+            _, color, merge_overflow, merge_pairs = jax.lax.fori_loop(
+                0, n_dev, ring_step,
+                (verts, color, merge_overflow, merge_pairs),
+            )
+        else:
+            mc, merge_overflow, merge_pairs = merge_stage(
+                scene, misc, queries, light_verts_global, num_cells,
+                pair_factor * n, ppm, max_path_length, min_path_length,
+                photon_factor * n_paths_global, query_factor * n, n,
+            )
+            color = color + mc
 
     fb = add_color(fb, sx, sy, color)
     out = fb.to_array()
@@ -982,6 +1136,7 @@ def render_iteration_core(
 _STATIC = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
     "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
+    "photon_factor", "query_factor", "vm_exchange",
 )
 
 
@@ -1001,6 +1156,9 @@ def render_iteration(
     light_trace_only: bool = False,
     ppm: bool = False,
     pair_factor: int = 24,
+    photon_factor: int = 3,
+    query_factor: int = 3,
+    vm_exchange: str = "allgather",
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -1008,7 +1166,8 @@ def render_iteration(
     fb, _, _, _ = render_iteration_core(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
-        use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=None,
+        use_vc, use_vm, light_trace_only, ppm, pair_factor,
+        photon_factor, query_factor, vm_exchange, axis_name=None,
     )
     return fb
 
@@ -1029,6 +1188,9 @@ def render_iteration_with_stats(
     light_trace_only: bool = False,
     ppm: bool = False,
     pair_factor: int = 24,
+    photon_factor: int = 3,
+    query_factor: int = 3,
+    vm_exchange: str = "allgather",
 ):
     """Like render_iteration but also returns (ray_count, merge_overflow,
     merge_pairs): traced rays (path segments + shadow/occlusion rays — the
@@ -1041,5 +1203,6 @@ def render_iteration_with_stats(
     return render_iteration_core(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
-        use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=None,
+        use_vc, use_vm, light_trace_only, ppm, pair_factor,
+        photon_factor, query_factor, vm_exchange, axis_name=None,
     )

@@ -6,6 +6,11 @@ accumulation is a differentiable scatter-add (``.at[y, x].add`` with
 framebuffer.hxx:43-57). The file writers replicate the reference's byte
 formats exactly (framebuffer.hxx:106-251): PPM, binary PFM, bottom-up 24bpp
 BMP with gamma, and Radiance RGBE HDR.
+
+Like the reference, the encode path is native: each save_* first tries the
+C++ codec (native/codec.cpp via io/native_codec.py, built on demand with
+the in-image g++) and falls back to the numpy implementations below, which
+double as the byte-format oracle in tests/test_io.py.
 """
 
 from __future__ import annotations
@@ -63,6 +68,9 @@ def _np(fb) -> np.ndarray:
 
 def save_ppm(fb, filename: str, gamma: float = 1.0) -> None:
     img = _np(fb)
+    from . import native_codec
+    if native_codec.save_ppm(img, filename, gamma):
+        return
     res_y, res_x, _ = img.shape
     inv_g = 1.0 / gamma
     quant = np.clip((img ** inv_g * 255.0).astype(np.int32), 0, 255)
@@ -78,6 +86,9 @@ def save_ppm(fb, filename: str, gamma: float = 1.0) -> None:
 
 def save_pfm(fb, filename: str) -> None:
     img = _np(fb)
+    from . import native_codec
+    if native_codec.save_pfm(img, filename):
+        return
     res_y, res_x, _ = img.shape
     with open(filename, "wb") as f:
         f.write(f"PF\n{res_x} {res_y}\n-1\n".encode())
@@ -87,6 +98,9 @@ def save_pfm(fb, filename: str) -> None:
 def save_bmp(fb, filename: str, gamma: float = 1.0) -> None:
     """24bpp bottom-up BMP, byte-identical layout to framebuffer.hxx:170-215."""
     img = _np(fb)
+    from . import native_codec
+    if native_codec.save_bmp(img, filename, gamma):
+        return
     res_y, res_x, _ = img.shape
     inv_g = 1.0 / gamma
     header = struct.pack(
@@ -115,6 +129,9 @@ def save_bmp(fb, filename: str, gamma: float = 1.0) -> None:
 def save_hdr(fb, filename: str) -> None:
     """Radiance RGBE (framebuffer.hxx:219-251, non-RLE scanlines)."""
     img = _np(fb)
+    from . import native_codec
+    if native_codec.save_hdr(img, filename):
+        return
     res_y, res_x, _ = img.shape
     v = img.max(axis=2)
     mant, exp = np.frexp(v)

@@ -13,9 +13,15 @@ but maps each step to what the hardware does well:
   cumsum (no searchsorted).
 
 * query: instead of padding every probed cell to the max occupancy (gathers
-  scale with 8*k_max and TPU gathers cost ~30 ns/element), callers expand
-  exact (query, photon) candidate pairs with
-  :func:`expand_pairs` — work scales with the *actual* number of candidates.
+  scale with 8*k_max), exact (query, photon) candidate pairs are expanded
+  from the CSR ranges — work scales with the *actual* number of candidates.
+
+The production merge pipeline lives in algorithms/vcm.py::merge_stage and
+uses :func:`compact_indices` + :func:`stable_radix_argsort` + :func:`_hash_cell`
+with wide-row payload gathers (TPU scattered gathers cost per ROW, not per
+element). :func:`build` / :func:`query_cell_ranges` / :func:`expand_pairs`
+below are the simple reference implementation of the same semantics, kept as
+the test oracle (tests/test_hashgrid.py checks both against brute force).
 
 More cells than the reference's pixel-count choice (vertexcm.hxx:405-407)
 are used by default: the cell count only affects hash-collision rate, never
@@ -174,6 +180,25 @@ def query_cell_ranges(grid: HashGrid, num_cells: int, qpos, packed=None):
         starts.append(s)
         counts.append(jnp.where(in_bbox, c, 0))
     return jnp.stack(starts, axis=1), jnp.stack(counts, axis=1)
+
+
+def compact_indices(valid, cap: int):
+    """Stream-compact a validity mask into source indices.
+
+    Returns (idx [cap] int32 — flat source index per compacted slot, zero
+    beyond the live range; count scalar; overflow scalar). Cost: one cumsum
+    + one narrow scatter over [M] — the wide payload then moves with a
+    single per-row gather (TPU gathers cost per ROW, not per element; see
+    merge_stage's design notes in algorithms/vcm.py).
+    """
+    m = valid.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    count = jnp.sum(valid.astype(jnp.int32))
+    dst = jnp.where(valid, pos, cap)  # dropped -> OOB
+    idx = jnp.zeros((cap,), jnp.int32).at[dst].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop"
+    )
+    return idx, count, jnp.maximum(count - cap, 0)
 
 
 def expand_pairs(starts, counts, pair_cap: int):

@@ -55,8 +55,18 @@ def sharded_render_iteration(
     light_trace_only: bool = False,
     ppm: bool = False,
     pair_factor: int = 24,
+    photon_factor: int = 3,
+    query_factor: int = 3,
+    vm_exchange: str = "allgather",
 ) -> jnp.ndarray:
     """One VCM-family iteration with paths sharded over ``mesh``.
+
+    ``vm_exchange`` picks the cross-shard photon exchange for merging:
+    "allgather" materializes the global photon map on every shard (one
+    hop, highest bandwidth); "ring" keeps photons sharded and ppermutes
+    them around the mesh, merging one visiting shard at a time — the
+    ring-attention pattern, for photon maps too large to replicate.
+    Both are exact (merging is additive over photons).
 
     Returns the full accumulation image, replicated.
     """
@@ -80,7 +90,8 @@ def sharded_render_iteration(
         return vcm.render_iteration_core(
             scene_rep, iteration, pix_shard, res_x, res_y, n, base_seed,
             max_path_length, min_path_length, radius_factor, radius_alpha,
-            use_vc, use_vm, light_trace_only, ppm, pair_factor, axis_name=AXIS,
+            use_vc, use_vm, light_trace_only, ppm, pair_factor,
+            photon_factor, query_factor, vm_exchange, axis_name=AXIS,
         )
 
     fb, _rays, _overflow, _pairs = run(scene, pix)

@@ -57,6 +57,8 @@ class RenderConfig:
     min_path_length: int = 0
     resolution: tuple = (512, 512)
     pair_factor: int = 24
+    photon_factor: int = 3
+    query_factor: int = 3
     # multi-device execution (None => single device)
     mesh: Optional[object] = None
 
@@ -109,22 +111,33 @@ def render_single_iteration(
             cfg.max_path_length, cfg.min_path_length,
             cfg.radius_factor, cfg.radius_alpha,
             use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
-            pair_factor=cfg.pair_factor,
+            pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
+            query_factor=cfg.query_factor,
         )
         if not use_vm or int(overflow) == 0 or cfg.pair_factor >= 512:
             if use_vm:
-                # Right-size the cap for the NEXT iteration: the merge's
-                # phase-1 gather cost scales with the cap, and the radius
-                # schedule shrinks the pair count monotonically. Power-of-2
-                # buckets keep recompiles rare (and compile-cached).
+                # Right-size the pair cap for the NEXT iteration: per-pair
+                # gather cost scales with the cap, and the radius schedule
+                # shrinks the pair count monotonically. Power-of-2 buckets
+                # keep recompiles rare (and compile-cached).
                 n = res_x * res_y
-                needed = max(8, int(np.ceil(int(pairs) * 1.2 / n)))
+                # Small margin: the radius schedule shrinks the candidate
+                # count monotonically across iterations, so 10% covers the
+                # per-iteration Monte Carlo wiggle without jumping a bucket.
+                needed = max(8, int(np.ceil(int(pairs) * 1.1 / n)))
                 bucket = 1 << (needed - 1).bit_length()
                 cfg.pair_factor = max(bucket, 8)
             return fb
+        # Any dropped photon/query/pair/survivor biases the image; grow all
+        # caps (cheap ones included — the pair cap dominates cost) and
+        # re-render this iteration exactly (the RNG is counter-based).
         cfg.pair_factor *= 2
-        print(f"[smallvcm_tpu] merge pair cap overflow; retrying iteration "
-              f"{iteration} with pair_factor={cfg.pair_factor}", flush=True)
+        cfg.photon_factor *= 2
+        cfg.query_factor *= 2
+        print(f"[smallvcm_tpu] merge cap overflow; retrying iteration "
+              f"{iteration} with pair_factor={cfg.pair_factor} "
+              f"photon_factor={cfg.photon_factor} "
+              f"query_factor={cfg.query_factor}", flush=True)
 
 
 def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False):

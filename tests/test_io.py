@@ -64,6 +64,56 @@ class TestWriters:
         assert abs(lum - expect) < 1e-2
 
 
+class TestNativeCodec:
+    """The C++ codec (native/codec.cpp) must produce the same bytes as the
+    numpy writers (the byte-format oracle replicating framebuffer.hxx)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from smallvcm_tpu.io import native_codec
+        if native_codec.load() is None:
+            pytest.skip("native codec unavailable (no g++)")
+
+    @pytest.fixture
+    def hard_img(self):
+        """Values that stress quantization: negatives, zeros, >1, tiny."""
+        g = np.random.default_rng(7)
+        img = (g.uniform(size=(17, 23, 3)) * 2.0 - 0.2).astype(np.float32)
+        img[0, 0] = 0.0
+        img[1, 1] = [1e-38, 5e-33, 1e20]
+        return img
+
+    def _both(self, img, tmp_path, fmt, **kw):
+        import os
+        from smallvcm_tpu.io import native_codec
+        pn = str(tmp_path / f"n.{fmt}")
+        pp = str(tmp_path / f"p.{fmt}")
+        ok = getattr(native_codec, f"save_{fmt}")(img, pn, *kw.values())
+        assert ok
+        os.environ["SMALLVCM_TPU_NO_NATIVE"] = "1"
+        try:
+            getattr(fbio, f"save_{fmt}")(img, pp, **kw)
+        finally:
+            del os.environ["SMALLVCM_TPU_NO_NATIVE"]
+        return open(pn, "rb").read(), open(pp, "rb").read()
+
+    def test_bmp_bytes_match(self, hard_img, tmp_path):
+        a, b = self._both(hard_img, tmp_path, "bmp", gamma=2.2)
+        assert a == b
+
+    def test_hdr_bytes_match(self, hard_img, tmp_path):
+        a, b = self._both(np.abs(hard_img), tmp_path, "hdr")
+        assert a == b
+
+    def test_pfm_bytes_match(self, hard_img, tmp_path):
+        a, b = self._both(hard_img, tmp_path, "pfm")
+        assert a == b
+
+    def test_ppm_bytes_match(self, hard_img, tmp_path):
+        a, b = self._both(np.abs(hard_img), tmp_path, "ppm", gamma=2.2)
+        assert a == b
+
+
 class TestHtmlReport:
     def test_structure(self, tmp_path):
         p = str(tmp_path / "index.html")

@@ -46,6 +46,17 @@ class TestShardingInvariance:
         img1 = np.asarray(vcm.render_iteration(scene, 0, RES, RES))
         np.testing.assert_allclose(img2, img1, atol=1e-4, rtol=1e-4)
 
+    def test_ring_exchange_matches_allgather(self, scene):
+        """Ring ppermute photon exchange is exact: merging is additive over
+        photons, so visiting shards one at a time equals the all-gather."""
+        mesh = make_mesh(8)
+        ring = np.asarray(
+            sharded_render_iteration(mesh, scene, 0, RES, RES,
+                                     vm_exchange="ring")
+        )
+        img1 = np.asarray(vcm.render_iteration(scene, 0, RES, RES))
+        np.testing.assert_allclose(ring, img1, atol=1e-4, rtol=1e-4)
+
     def test_lt_sharded(self, scene):
         mesh = make_mesh(8)
         img8 = np.asarray(
