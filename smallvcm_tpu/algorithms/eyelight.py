@@ -36,7 +36,8 @@ def render_iteration(
     y = (pix // res_x).astype(jnp.float32)
 
     jitter = rng.uniform_slots(
-        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
+        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2,
+        rng_kind,
     )
     centered = jnp.asarray(iteration, jnp.int32) == 1
     jx = jnp.where(centered, 0.5, jitter[:, 0])

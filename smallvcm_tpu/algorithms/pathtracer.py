@@ -48,6 +48,7 @@ class _PtState(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("res_x", "res_y", "base_seed", "max_path_length",
+                     "rng_kind",
                      "min_path_length"),
 )
 def render_iteration(
@@ -58,6 +59,7 @@ def render_iteration(
     base_seed: int = 1234,
     max_path_length: int = 10,
     min_path_length: int = 0,
+    rng_kind: str = "threefry",
 ) -> jnp.ndarray:
     n = res_x * res_y
     pix = jnp.arange(n, dtype=jnp.uint32)
@@ -69,7 +71,8 @@ def render_iteration(
     has_background = scene.background_idx >= 0
 
     jitter = rng.uniform_slots(
-        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
+        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2,
+        rng_kind,
     )
     sx = x + jitter[:, 0]
     sy = y + jitter[:, 1]
@@ -158,6 +161,7 @@ def render_iteration(
             rng.make_stream(iteration, rng.STAGE_CAMERA_NEE, i),
             pix,
             3,
+            rng_kind,
         )
         light_id = jnp.minimum(
             (u[:, 0] * light_count).astype(jnp.int32), light_count - 1
@@ -199,6 +203,7 @@ def render_iteration(
             rng.make_stream(iteration, rng.STAGE_CAMERA_WALK, i),
             pix,
             4,
+            rng_kind,
         )
         s_factor, s_dir, s_pdf, s_cos, s_event, s_keep = bsdf_ops.sample(
             scene.materials, b, w[:, 0], w[:, 1], w[:, 2], fix_is_light=False

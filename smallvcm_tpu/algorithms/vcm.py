@@ -167,7 +167,8 @@ def compute_misc(
 
 
 def generate_light_sample(
-    scene: SceneData, misc: VcmMisc, pix, iteration, base_seed: int
+    scene: SceneData, misc: VcmMisc, pix, iteration, base_seed: int,
+    rng_kind: str = "threefry",
 ) -> SubPathState:
     """GenerateLightSample (vertexcm.hxx:816-858)."""
     n = pix.shape[0]
@@ -175,7 +176,8 @@ def generate_light_sample(
     pick_prob = 1.0 / light_count
 
     u = rng.uniform_slots(
-        base_seed, rng.make_stream(iteration, rng.STAGE_LIGHT_EMIT), pix, 5
+        base_seed, rng.make_stream(iteration, rng.STAGE_LIGHT_EMIT), pix, 5,
+        rng_kind,
     )
     light_id = jnp.minimum(
         (u[:, 0] * light_count).astype(jnp.int32), light_count - 1
@@ -314,6 +316,7 @@ def trace_light_paths(
     scene: SceneData, misc: VcmMisc, pix, iteration, fb,
     base_seed: int, max_path_length: int, min_path_length: int,
     use_vc: bool, use_vm: bool, light_trace_only: bool,
+    rng_kind: str = "threefry",
 ):
     """Light stage (vertexcm.hxx:321-396) -> (vertices, fb, ray_count)."""
     n = pix.shape[0]
@@ -321,7 +324,8 @@ def trace_light_paths(
     store_vertices = use_vc or use_vm
     connect_cam = use_vc or light_trace_only
 
-    state = generate_light_sample(scene, misc, pix, iteration, base_seed)
+    state = generate_light_sample(scene, misc, pix, iteration, base_seed,
+                                  rng_kind)
     verts = _empty_vertices(max_l, n)
 
     def bounce(i, carry):
@@ -386,7 +390,7 @@ def trace_light_paths(
         u = rng.uniform_slots(
             base_seed,
             rng.make_stream(iteration, rng.STAGE_LIGHT_WALK, i),
-            pix, 4,
+            pix, 4, rng_kind,
         )
         state = sample_scattering(
             scene, misc, state, hit_point, b, u, fix_is_light=True
@@ -405,7 +409,8 @@ def trace_light_paths(
 
 
 def generate_camera_sample(
-    scene: SceneData, misc: VcmMisc, pix, res_x: int, iteration, base_seed: int
+    scene: SceneData, misc: VcmMisc, pix, res_x: int, iteration,
+    base_seed: int, rng_kind: str = "threefry",
 ):
     """GenerateCameraSample (vertexcm.hxx:564-606)."""
     n = pix.shape[0]
@@ -413,7 +418,8 @@ def generate_camera_sample(
     x = (pix % res_x).astype(jnp.float32)
     y = (pix // res_x).astype(jnp.float32)
     jitter = rng.uniform_slots(
-        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2
+        base_seed, rng.make_stream(iteration, rng.STAGE_CAMERA_JITTER), pix, 2,
+        rng_kind,
     )
     sx = x + jitter[:, 0]
     sy = y + jitter[:, 1]
@@ -876,6 +882,7 @@ def render_iteration_core(
     photon_factor: int = 3,
     query_factor: int = 3,
     vm_exchange: str = "allgather",
+    rng_kind: str = "threefry",
     axis_name: str | None = None,
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
@@ -899,7 +906,7 @@ def render_iteration_core(
     # ---- Stage 1: light sub-paths.
     verts, fb, ray_count = trace_light_paths(
         scene, misc, pix, iteration, fb, base_seed, max_path_length,
-        min_path_length, use_vc, use_vm, light_trace_only,
+        min_path_length, use_vc, use_vm, light_trace_only, rng_kind,
     )
 
     if light_trace_only:
@@ -927,7 +934,7 @@ def render_iteration_core(
 
     # ---- Stage 2: camera sub-paths (+ query recording for merging).
     sx, sy, state = generate_camera_sample(
-        scene, misc, pix, res_x, iteration, base_seed
+        scene, misc, pix, res_x, iteration, base_seed, rng_kind
     )
     zerov = V3(*(jnp.zeros((n,), jnp.float32),) * 3)
     color = zerov
@@ -997,7 +1004,7 @@ def render_iteration_core(
             u3 = rng.uniform_slots(
                 base_seed,
                 rng.make_stream(iteration, rng.STAGE_CAMERA_NEE, i),
-                pix, 3,
+                pix, 3, rng_kind,
             )
             nee = direct_illumination(scene, misc, state, hit_point, b, u3)
             nee_on = alive & ~b.is_delta & (path_length + 1 >= min_path_length)
@@ -1070,7 +1077,7 @@ def render_iteration_core(
         u = rng.uniform_slots(
             base_seed,
             rng.make_stream(iteration, rng.STAGE_CAMERA_WALK, i),
-            pix, 4,
+            pix, 4, rng_kind,
         )
         state = sample_scattering(
             scene, misc, state, hit_point, b, u, fix_is_light=False
@@ -1136,7 +1143,7 @@ def render_iteration_core(
 _STATIC = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
     "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
-    "photon_factor", "query_factor", "vm_exchange",
+    "photon_factor", "query_factor", "vm_exchange", "rng_kind",
 )
 
 
@@ -1159,6 +1166,7 @@ def render_iteration(
     photon_factor: int = 3,
     query_factor: int = 3,
     vm_exchange: str = "allgather",
+    rng_kind: str = "threefry",
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -1167,7 +1175,8 @@ def render_iteration(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
-        photon_factor, query_factor, vm_exchange, axis_name=None,
+        photon_factor, query_factor, vm_exchange, rng_kind,
+        axis_name=None,
     )
     return fb
 
@@ -1191,6 +1200,7 @@ def render_iteration_with_stats(
     photon_factor: int = 3,
     query_factor: int = 3,
     vm_exchange: str = "allgather",
+    rng_kind: str = "threefry",
 ):
     """Like render_iteration but also returns (ray_count, merge_overflow,
     merge_pairs): traced rays (path segments + shadow/occlusion rays — the
@@ -1204,5 +1214,6 @@ def render_iteration_with_stats(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
-        photon_factor, query_factor, vm_exchange, axis_name=None,
+        photon_factor, query_factor, vm_exchange, rng_kind,
+        axis_name=None,
     )

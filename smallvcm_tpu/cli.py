@@ -55,6 +55,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--radius-factor", type=float, default=0.003)
     p.add_argument("--radius-alpha", type=float, default=0.75)
+    p.add_argument("--rng", type=str, default="threefry",
+                   choices=("threefry", "tea"), dest="rng_kind",
+                   help="counter-based generator; 'tea' is the reference's "
+                        "LEGACY_RNG mixing function (its old_rng flavor)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard paths over this many devices (0 = all local)")
     p.add_argument("-v", "--verbose", action="store_true",
@@ -90,6 +94,7 @@ def main(argv=None) -> int:
         max_path_length=args.max_path_length,
         min_path_length=args.min_path_length,
         resolution=tuple(args.resolution),
+        rng_kind=args.rng_kind,
     )
 
     output = args.output_name or build_default_filename(scene_config, algorithm)

@@ -53,25 +53,62 @@ def threefry2x32(k0, k1, c0, c1):
     return x0, x1
 
 
+def tea6(k0, k1, c0, c1):
+    """Six-round Tiny Encryption Algorithm hash in counter mode.
+
+    The reference's LEGACY_RNG generator is this exact mixing function run
+    statefully (rng.hxx:90-122: state += TEA round pair, 6 rounds per draw);
+    a wavefront renderer needs counter mode instead, so the two key words
+    and two counter words are folded into the initial state and mixed with
+    the same rounds. Matches the reference's GetImpl bit-for-bit when
+    seeded with the same two state words (tests/test_core.py cross-checks
+    against a compiled harness of the algorithm).
+    """
+    v0 = jnp.asarray(k0, jnp.uint32) + jnp.asarray(c0, jnp.uint32)
+    v1 = jnp.asarray(k1, jnp.uint32) ^ jnp.asarray(c1, jnp.uint32)
+    s = jnp.uint32(0)
+    delta = jnp.uint32(0x9E3779B9)
+    for _ in range(6):
+        s = s + delta
+        v0 = v0 + (
+            ((v1 << jnp.uint32(4)) + jnp.uint32(0xA341316C))
+            ^ (v1 + s)
+            ^ ((v1 >> jnp.uint32(5)) + jnp.uint32(0xC8013EA4))
+        )
+        v1 = v1 + (
+            ((v0 << jnp.uint32(4)) + jnp.uint32(0xAD90777D))
+            ^ (v0 + s)
+            ^ ((v0 >> jnp.uint32(5)) + jnp.uint32(0x7E95761E))
+        )
+    return v0, v1
+
+
+_GENERATORS = {"threefry": threefry2x32, "tea": tea6}
+
+
 def _to_unit_float(bits):
     """uint32 -> float32 in [0, 1) using the top 24 bits."""
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
 
 
-def uniform_slots(seed: int, stream, path_ids, n_slots: int):
+def uniform_slots(seed: int, stream, path_ids, n_slots: int,
+                  generator: str = "threefry"):
     """Generate ``[..., n_slots]`` uniforms in [0,1) for each path.
 
-    seed:     python int (base seed, reference default 1234)
-    stream:   python int or scalar — identifies (iteration, stage, bounce)
-    path_ids: int32/uint32 array [...] of *global* path indices
-    n_slots:  static number of random values per path
+    seed:      python int (base seed, reference default 1234)
+    stream:    python int or scalar — identifies (iteration, stage, bounce)
+    path_ids:  int32/uint32 array [...] of *global* path indices
+    n_slots:   static number of random values per path
+    generator: "threefry" (default) or "tea" — the reference's LEGACY_RNG
+               mixing function in counter mode (its `old_rng` build flavor)
     """
+    bits2x32 = _GENERATORS[generator]
     path_ids = jnp.asarray(path_ids, jnp.uint32)
     k0 = jnp.uint32(seed & 0xFFFFFFFF)
     k1 = jnp.asarray(stream, jnp.uint32)
     out = []
     for pair in range((n_slots + 1) // 2):
-        b0, b1 = threefry2x32(k0, k1, path_ids, jnp.uint32(pair))
+        b0, b1 = bits2x32(k0, k1, path_ids, jnp.uint32(pair))
         out.append(_to_unit_float(b0))
         out.append(_to_unit_float(b1))
     return jnp.stack(out[:n_slots], axis=-1)

@@ -58,6 +58,7 @@ def sharded_render_iteration(
     photon_factor: int = 3,
     query_factor: int = 3,
     vm_exchange: str = "allgather",
+    rng_kind: str = "threefry",
 ) -> jnp.ndarray:
     """One VCM-family iteration with paths sharded over ``mesh``.
 
@@ -91,7 +92,8 @@ def sharded_render_iteration(
             scene_rep, iteration, pix_shard, res_x, res_y, n, base_seed,
             max_path_length, min_path_length, radius_factor, radius_alpha,
             use_vc, use_vm, light_trace_only, ppm, pair_factor,
-            photon_factor, query_factor, vm_exchange, axis_name=AXIS,
+            photon_factor, query_factor, vm_exchange, rng_kind,
+            axis_name=AXIS,
         )
 
     fb, _rays, _overflow, _pairs = run(scene, pix)

@@ -56,6 +56,7 @@ class RenderConfig:
     max_path_length: int = 10
     min_path_length: int = 0
     resolution: tuple = (512, 512)
+    rng_kind: str = "threefry"  # or "tea" (the reference's old_rng flavor)
     pair_factor: int = 24
     photon_factor: int = 3
     query_factor: int = 3
@@ -97,12 +98,14 @@ def render_single_iteration(
     alg = resolve_algorithm(scene, cfg.algorithm)
     if alg == "el":
         return eyelight.render_iteration(
-            scene, iteration, res_x, res_y, cfg.base_seed
+            scene, iteration, res_x, res_y, cfg.base_seed,
+            rng_kind=cfg.rng_kind,
         )
     if alg == "pt":
         return pathtracer.render_iteration(
             scene, iteration, res_x, res_y, cfg.base_seed,
             cfg.max_path_length, cfg.min_path_length,
+            rng_kind=cfg.rng_kind,
         )
     use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
     while True:
@@ -112,21 +115,23 @@ def render_single_iteration(
             cfg.radius_factor, cfg.radius_alpha,
             use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
             pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
-            query_factor=cfg.query_factor,
+            query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
         )
         if not use_vm or int(overflow) == 0 or cfg.pair_factor >= 512:
             if use_vm:
                 # Right-size the pair cap for the NEXT iteration: per-pair
                 # gather cost scales with the cap, and the radius schedule
-                # shrinks the pair count monotonically. Power-of-2 buckets
-                # keep recompiles rare (and compile-cached).
+                # shrinks the pair count monotonically. A 1.5x bucket
+                # ladder (8, 12, 16, 24, 32, ...) keeps recompiles rare
+                # (and compile-cached) without the up-to-2x overshoot of
+                # pure powers of two.
                 n = res_x * res_y
                 # Small margin: the radius schedule shrinks the candidate
                 # count monotonically across iterations, so 10% covers the
                 # per-iteration Monte Carlo wiggle without jumping a bucket.
                 needed = max(8, int(np.ceil(int(pairs) * 1.1 / n)))
-                bucket = 1 << (needed - 1).bit_length()
-                cfg.pair_factor = max(bucket, 8)
+                p2 = 1 << (needed - 1).bit_length()
+                cfg.pair_factor = p2 * 3 // 4 if p2 * 3 // 4 >= needed else p2
             return fb
         # Any dropped photon/query/pair/survivor biases the image; grow all
         # caps (cheap ones included — the pair cap dominates cost) and
