@@ -20,9 +20,11 @@ from ..scene.scene import SceneData
 from ..io.framebuffer import add_color, new_fb_planes
 
 
-@partial(jax.jit, static_argnames=("res_x", "res_y", "base_seed"))
+@partial(jax.jit,
+         static_argnames=("res_x", "res_y", "base_seed", "rng_kind"))
 def render_iteration(
-    scene: SceneData, iteration, res_x: int, res_y: int, base_seed: int = 1234
+    scene: SceneData, iteration, res_x: int, res_y: int,
+    base_seed: int = 1234, rng_kind: str = "threefry",
 ) -> jnp.ndarray:
     """Render one eye-light sample pass -> accumulation image [resY,resX,3].
 
