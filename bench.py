@@ -34,14 +34,14 @@ def main():
 
     # Warmup / compile (block via a tiny transfer: block_until_ready is not
     # reliable through this container's tunneled backend).
-    fb, rays, overflow, _pairs = run(0)
+    fb, rays, overflow, _stats = run(0)
     float(jnp.sum(fb))
     assert int(overflow) == 0, "merge pair cap overflow; raise pair_factor"
 
     iters = 5
     t0 = time.time()
     for it in range(1, iters + 1):
-        fb, rays, overflow, _pairs = run(it)
+        fb, rays, overflow, _stats = run(it)
         float(jnp.sum(fb))
     elapsed = time.time() - t0
     total_rays = int(rays) * iters  # per-iteration count is ~constant

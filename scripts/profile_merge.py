@@ -46,7 +46,7 @@ def main():
             )
         )
         t, out = timeit(f, 1)
-        print(f"{name:24s} {t*1e3:9.1f} ms  (pairs={int(out[3])})")
+        print(f"{name:24s} {t*1e3:9.1f} ms  (pairs={int(out[3][0])})")
 
     # Isolated stages.
     misc = vcm.compute_misc(scene, 1, n, 0.003, 0.75, True, True)
@@ -76,7 +76,7 @@ def main():
         )
 
     t, out = timeit(merge_only, verts)
-    print(f"{'merge stage (isolated)':24s} {t*1e3:9.1f} ms  (pairs={int(out[2])}, ovf={int(out[1])})")
+    print(f"{'merge stage (isolated)':24s} {t*1e3:9.1f} ms  (pairs={int(out[2][0])}, ovf={int(out[1])})")
 
     # ---- Microbenchmarks ----
     key = jax.random.PRNGKey(0)

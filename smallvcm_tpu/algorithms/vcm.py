@@ -54,6 +54,11 @@ from ..scene.scene import SceneData
 from ..io.framebuffer import add_color, new_fb_planes
 
 
+def _pad_mult(x: int, m: int) -> int:
+    """Round x up to a multiple of m (query caps must split into chunks)."""
+    return -(-x // m) * m
+
+
 def _safe_div(a, b):
     return a / jnp.where(b == 0.0, 1.0, b)
 
@@ -593,7 +598,7 @@ def merge_stage(
     scene: SceneData, misc: VcmMisc, queries: StoredVertices,
     light_verts: StoredVertices, num_cells: int, pair_cap: int, ppm: bool,
     max_path_length: int, min_path_length: int,
-    photon_cap: int, query_cap: int, n_paths: int,
+    photon_cap: int, query_cap: int, n_paths: int, merge_chunks: int = 1,
 ):
     """Vertex merging over all recorded camera queries in one pass.
 
@@ -736,114 +741,155 @@ def merge_stage(
     counts8 = jnp.stack(counts8, axis=1)
 
     per_q = jnp.sum(counts8, axis=1)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(per_q)[:-1].astype(jnp.int32)]
-    )
-    total_pairs = offs[-1] + per_q[-1]
-    ovf_pairs = jnp.maximum(total_pairs - pair_cap, 0)
 
     # Inclusive per-cell boundaries b1..b8 and start-minus-prefix adjust so a
     # pair recovers its photon slot as adj_j + rank with pure arithmetic.
     incl = jnp.cumsum(counts8, axis=1)                  # [query_cap, 8]
     excl = incl - counts8
     adj = starts8 - excl
-    # Query row: [offs | xbits ybits zbits | len | b1..b8 | adj0..adj7].
-    qrow = jnp.concatenate(
+    # Query row: [xbits ybits zbits | len | b1..b8 | adj0..adj7]; the pair-
+    # expansion offset column is prepended per chunk below.
+    qrow20 = jnp.concatenate(
         [
-            offs[:, None], f2i(qx)[:, None], f2i(qy)[:, None],
-            f2i(qz)[:, None], q_len_c[:, None], incl, adj,
+            f2i(qx)[:, None], f2i(qy)[:, None], f2i(qz)[:, None],
+            q_len_c[:, None], incl, adj,
         ],
         axis=1,
-    )  # [query_cap, 21]
+    )  # [query_cap, 20]
 
-    # ---- 3. Pair expansion + exact prefilter. -----------------------------
-    seg_head = jnp.zeros((pair_cap,), jnp.int32).at[offs].max(
-        jnp.where(per_q > 0, jnp.arange(query_cap, dtype=jnp.int32), 0),
-        mode="drop",
-    )
-    qseg = jax.lax.cummax(seg_head)
-    qr = qrow[qseg]                                     # [pair_cap, 21]
-
-    p_iota = jnp.arange(pair_cap, dtype=jnp.int32)
-    rank = p_iota - qr[:, 0]
-    pair_ok = (p_iota < total_pairs) & (rank >= 0) & (rank < qr[:, 12])
-    # Cell pick: smallest j with rank < b_{j+1}.
-    php = qr[:, 20]
-    for j in range(6, -1, -1):
-        php = jnp.where(rank < qr[:, 5 + j], qr[:, 13 + j], php)
-    php = php + rank
-    php_safe = jnp.clip(php, 0, photon_cap - 1)
-
-    pr = p1[php_safe]                                   # [pair_cap, 4]
-    dx = i2f(pr[:, 0]) - i2f(qr[:, 1])
-    dy = i2f(pr[:, 1]) - i2f(qr[:, 2])
-    dz = i2f(pr[:, 2]) - i2f(qr[:, 3])
-    pair_ok = pair_ok & (dx * dx + dy * dy + dz * dz <= misc.radius_sqr)
-    # Path length window (vertexcm.hxx:132-135).
-    total_len = pr[:, 3] + qr[:, 4]
-    pair_ok = pair_ok & (total_len <= max_path_length) & (
-        total_len >= min_path_length
-    )
-
-    # ---- 4. Survivor compaction (keys-only sort) + full evaluation. -------
-    surv_cap = min(pair_cap, max(pair_cap // 4, 1024))
-    key = jnp.where(pair_ok, p_iota, p_iota | (1 << 30)).astype(jnp.uint32)
-    p_c = (jnp.sort(key)[:surv_cap] & jnp.uint32((1 << 30) - 1)).astype(
-        jnp.int32
-    )
-    n_surv = jnp.sum(pair_ok.astype(jnp.int32))
-    ovf_surv = jnp.maximum(n_surv - surv_cap, 0)
-    ok2 = jnp.arange(surv_cap, dtype=jnp.int32) < n_surv
-
-    meta = jnp.stack([qseg, php_safe], axis=1)          # [pair_cap, 2]
-    meta_c = meta[p_c]
-    qs_c = meta_c[:, 0]
-    pp_c = meta_c[:, 1]
-
-    prow = pf_s[pp_c]                                   # [surv_cap, 14]
-    qrow_f = qf_c[qs_c]
+    # ---- 3+4. Pair expansion, prefilter, and evaluation — per query chunk.
+    # Pair-level arrays dominate merge memory (candidate pairs grow with
+    # photon DENSITY, i.e. quadratically with resolution at fixed radius);
+    # chunking the compacted query axis bounds them: per-chunk caps are
+    # pair_cap / merge_chunks while total work and results are unchanged.
+    assert query_cap % merge_chunks == 0, "query_cap % merge_chunks != 0"
+    qc_n = query_cap // merge_chunks
+    pair_cap_c = max(pair_cap // merge_chunks, 1024)
+    surv_cap = min(pair_cap_c, max(pair_cap_c // 4, 1024))
     rv3 = lambda r, i: V3(r[:, i], r[:, i + 1], r[:, i + 2])
 
-    cam_b = bsdf_ops.setup(
-        scene.materials, rv3(qrow_f, 3), rv3(qrow_f, 6), q_mat_c[qs_c], ok2
-    )
-    ph_in = rv3(prow, 3)
-    # Light-vertex continuation probability: reconstruct its BSDF setup.
-    ph_b = bsdf_ops.setup(
-        scene.materials, ph_in, rv3(prow, 6), p_mat_s[pp_c], ok2
-    )
+    def chunk_body(c, carry):
+        acc_x, acc_y, acc_z, ovf, pairs_total = carry
+        base = c * qc_n
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, base, qc_n)
 
-    light_dir = -ph_in  # the photon's WorldDirFix
-    factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
-        scene.materials, cam_b, light_dir
-    )
-    ok2 = ok2 & max_gt_zero(factor)
+        per_q_ch = sl(per_q)
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(per_q_ch)[:-1].astype(jnp.int32)]
+        )
+        total_ch = offs[-1] + per_q_ch[-1]
+        ovf = ovf + jnp.maximum(total_ch - pair_cap_c, 0)
+        pairs_total = pairs_total + total_ch
 
-    dir_pdf_w = dir_pdf_w * cam_b.cont_prob
-    rev_pdf_w = rev_pdf_w * ph_b.cont_prob
+        qrow = jnp.concatenate(
+            [offs[:, None],
+             jax.lax.dynamic_slice_in_dim(qrow20, base, qc_n, axis=0)],
+            axis=1,
+        )  # [qc_n, 21]
 
-    # [tech. rep. (38)-(39)]
-    w_light = prow[:, 12] * misc.mis_vc_weight + prow[:, 13] * _mis(dir_pdf_w)
-    w_camera = qrow_f[:, 12] * misc.mis_vc_weight + \
-        qrow_f[:, 13] * _mis(rev_pdf_w)
-    if ppm:
-        mis_weight = jnp.ones_like(w_light)
-    else:
-        mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+        seg_head = jnp.zeros((pair_cap_c,), jnp.int32).at[offs].max(
+            jnp.where(per_q_ch > 0, jnp.arange(qc_n, dtype=jnp.int32), 0),
+            mode="drop",
+        )
+        qseg = jax.lax.cummax(seg_head)
+        qr = qrow[qseg]                                 # [pair_cap_c, 21]
 
-    contrib = factor * rv3(prow, 9) * mis_weight
-    contrib = v3_where(ok2, contrib, 0.0)
+        p_iota = jnp.arange(pair_cap_c, dtype=jnp.int32)
+        rank = p_iota - qr[:, 0]
+        pair_ok = (p_iota < total_ch) & (rank >= 0) & (rank < qr[:, 12])
+        # Cell pick: smallest j with rank < b_{j+1}.
+        php = qr[:, 20]
+        for j in range(6, -1, -1):
+            php = jnp.where(rank < qr[:, 5 + j], qr[:, 13 + j], php)
+        php = php + rank
+        php_safe = jnp.clip(php, 0, photon_cap - 1)
 
-    # Per-query accumulation, then scale by the camera throughput + the vm
-    # normalization and route to the owning path.
+        pr = p1[php_safe]                               # [pair_cap_c, 4]
+        dx = i2f(pr[:, 0]) - i2f(qr[:, 1])
+        dy = i2f(pr[:, 1]) - i2f(qr[:, 2])
+        dz = i2f(pr[:, 2]) - i2f(qr[:, 3])
+        pair_ok = pair_ok & (
+            dx * dx + dy * dy + dz * dz <= misc.radius_sqr
+        )
+        # Path length window (vertexcm.hxx:132-135).
+        total_len = pr[:, 3] + qr[:, 4]
+        pair_ok = pair_ok & (total_len <= max_path_length) & (
+            total_len >= min_path_length
+        )
+
+        # Survivor compaction via one keys-only sort (flag | pair id).
+        key = jnp.where(pair_ok, p_iota, p_iota | (1 << 30)).astype(
+            jnp.uint32
+        )
+        p_c = (jnp.sort(key)[:surv_cap] & jnp.uint32((1 << 30) - 1)).astype(
+            jnp.int32
+        )
+        n_surv = jnp.sum(pair_ok.astype(jnp.int32))
+        ovf = ovf + jnp.maximum(n_surv - surv_cap, 0)
+        ok2 = jnp.arange(surv_cap, dtype=jnp.int32) < n_surv
+
+        meta = jnp.stack([qseg, php_safe], axis=1)      # [pair_cap_c, 2]
+        meta_c = meta[p_c]
+        qs_g = meta_c[:, 0] + base                      # global query index
+        pp_c = meta_c[:, 1]
+
+        prow = pf_s[pp_c]                               # [surv_cap, 14]
+        qrow_f = qf_c[qs_g]
+
+        cam_b = bsdf_ops.setup(
+            scene.materials, rv3(qrow_f, 3), rv3(qrow_f, 6), q_mat_c[qs_g],
+            ok2,
+        )
+        ph_in = rv3(prow, 3)
+        # Light-vertex continuation probability: reconstruct its BSDF setup.
+        ph_b = bsdf_ops.setup(
+            scene.materials, ph_in, rv3(prow, 6), p_mat_s[pp_c], ok2
+        )
+
+        light_dir = -ph_in  # the photon's WorldDirFix
+        factor, _, dir_pdf_w, rev_pdf_w = bsdf_ops.evaluate(
+            scene.materials, cam_b, light_dir
+        )
+        ok2 = ok2 & max_gt_zero(factor)
+
+        dir_pdf_w = dir_pdf_w * cam_b.cont_prob
+        rev_pdf_w = rev_pdf_w * ph_b.cont_prob
+
+        # [tech. rep. (38)-(39)]
+        w_light = prow[:, 12] * misc.mis_vc_weight + \
+            prow[:, 13] * _mis(dir_pdf_w)
+        w_camera = qrow_f[:, 12] * misc.mis_vc_weight + \
+            qrow_f[:, 13] * _mis(rev_pdf_w)
+        if ppm:
+            mis_weight = jnp.ones_like(w_light)
+        else:
+            mis_weight = 1.0 / (w_light + 1.0 + w_camera)
+
+        contrib = factor * rv3(prow, 9) * mis_weight
+        contrib = v3_where(ok2, contrib, 0.0)
+
+        qdst = jnp.where(ok2, qs_g, query_cap)
+        return (
+            acc_x.at[qdst].add(contrib.x, mode="drop"),
+            acc_y.at[qdst].add(contrib.y, mode="drop"),
+            acc_z.at[qdst].add(contrib.z, mode="drop"),
+            ovf, pairs_total,
+        )
+
     qz_acc = jnp.zeros((query_cap,), jnp.float32)
-    qdst = jnp.where(ok2, qs_c, query_cap)
-    acc = V3(
-        qz_acc.at[qdst].add(contrib.x, mode="drop"),
-        qz_acc.at[qdst].add(contrib.y, mode="drop"),
-        qz_acc.at[qdst].add(contrib.z, mode="drop"),
-    )
+    zi = jnp.zeros((), jnp.int32)
+    if merge_chunks == 1:
+        acc_x, acc_y, acc_z, ovf_pe, total_pairs = chunk_body(
+            0, (qz_acc, qz_acc, qz_acc, zi, zi)
+        )
+    else:
+        acc_x, acc_y, acc_z, ovf_pe, total_pairs = jax.lax.fori_loop(
+            0, merge_chunks, chunk_body, (qz_acc, qz_acc, qz_acc, zi, zi)
+        )
+    # Scale by the camera throughput + the vm normalization and route to
+    # the owning path.
+    acc = V3(acc_x, acc_y, acc_z)
     acc = acc * V3(qf_c[:, 9], qf_c[:, 10], qf_c[:, 11]) * misc.vm_normalization
 
     pz_out = jnp.zeros((n,), jnp.float32)
@@ -853,8 +899,12 @@ def merge_stage(
         pz_out.at[pdst].add(acc.y, mode="drop"),
         pz_out.at[pdst].add(acc.z, mode="drop"),
     )
-    overflow = ovf_p + ovf_q + ovf_pairs + ovf_surv
-    return color_add, overflow, total_pairs
+    overflow = ovf_p + ovf_q + ovf_pe
+    # stats = [candidate pairs, live photons, live queries] — measured
+    # exactly even when a cap overflows, so the driver can right-size each
+    # cap in one retry.
+    stats = jnp.stack([total_pairs, n_p, n_q])
+    return color_add, overflow, stats
 
 
 # ---------------------------------------------------------------------------
@@ -883,6 +933,7 @@ def render_iteration_core(
     query_factor: int = 3,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
+    merge_chunks: int = 1,
     axis_name: str | None = None,
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
@@ -914,7 +965,7 @@ def render_iteration_core(
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
             ray_count = jax.lax.psum(ray_count, axis_name)
-        return out, ray_count, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+        return out, ray_count, jnp.zeros((), jnp.int32), jnp.zeros((3,), jnp.int32)
 
     if use_vm and axis_name is not None and vm_exchange == "allgather":
         # Cross-shard photon exchange: gather every shard's vertices so local
@@ -1092,7 +1143,7 @@ def render_iteration_core(
 
     # ---- Stage 3: deferred merging.
     merge_overflow = jnp.zeros((), jnp.int32)
-    merge_pairs = jnp.zeros((), jnp.int32)
+    merge_stats = jnp.zeros((3,), jnp.int32)
     if use_vm:
         num_cells = 2 * n_paths_global  # perf knob only; results exact
         if axis_name is not None and vm_exchange == "ring":
@@ -1109,24 +1160,33 @@ def render_iteration_core(
             shift = lambda a: jax.lax.ppermute(a, axis_name, perm)
 
             def ring_step(_, carry):
-                visiting, color, ovf, pairs = carry
-                mc, o, p = merge_stage(
+                visiting, color, ovf, st = carry
+                mc, o, s2 = merge_stage(
                     scene, misc, queries, visiting, num_cells,
                     pair_factor * n, ppm, max_path_length, min_path_length,
-                    photon_factor * n, query_factor * n, n,
+                    photon_factor * n, _pad_mult(query_factor * n,
+                                                 merge_chunks), n,
+                    merge_chunks,
                 )
                 visiting = jax.tree.map(shift, visiting)
-                return visiting, color + mc, ovf + o, pairs + p
+                # pairs accumulate over hops; photon/query counts are
+                # per-hop peaks (they size the per-shard caps).
+                st = jnp.stack([
+                    st[0] + s2[0], jnp.maximum(st[1], s2[1]),
+                    jnp.maximum(st[2], s2[2]),
+                ])
+                return visiting, color + mc, ovf + o, st
 
-            _, color, merge_overflow, merge_pairs = jax.lax.fori_loop(
+            _, color, merge_overflow, merge_stats = jax.lax.fori_loop(
                 0, n_dev, ring_step,
-                (verts, color, merge_overflow, merge_pairs),
+                (verts, color, merge_overflow, merge_stats),
             )
         else:
-            mc, merge_overflow, merge_pairs = merge_stage(
+            mc, merge_overflow, merge_stats = merge_stage(
                 scene, misc, queries, light_verts_global, num_cells,
                 pair_factor * n, ppm, max_path_length, min_path_length,
-                photon_factor * n_paths_global, query_factor * n, n,
+                photon_factor * n_paths_global,
+                _pad_mult(query_factor * n, merge_chunks), n, merge_chunks,
             )
             color = color + mc
 
@@ -1136,14 +1196,15 @@ def render_iteration_core(
         out = jax.lax.psum(out, axis_name)
         ray_count = jax.lax.psum(ray_count, axis_name)
         merge_overflow = jax.lax.psum(merge_overflow, axis_name)
-        merge_pairs = jax.lax.psum(merge_pairs, axis_name)
-    return out, ray_count, merge_overflow, merge_pairs
+        merge_stats = jax.lax.psum(merge_stats, axis_name)
+    return out, ray_count, merge_overflow, merge_stats
 
 
 _STATIC = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
     "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
     "photon_factor", "query_factor", "vm_exchange", "rng_kind",
+    "merge_chunks",
 )
 
 
@@ -1167,6 +1228,7 @@ def render_iteration(
     query_factor: int = 3,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
+    merge_chunks: int = 1,
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -1175,7 +1237,7 @@ def render_iteration(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
-        photon_factor, query_factor, vm_exchange, rng_kind,
+        photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
         axis_name=None,
     )
     return fb
@@ -1201,6 +1263,7 @@ def render_iteration_with_stats(
     query_factor: int = 3,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
+    merge_chunks: int = 1,
 ):
     """Like render_iteration but also returns (ray_count, merge_overflow,
     merge_pairs): traced rays (path segments + shadow/occlusion rays — the
@@ -1214,6 +1277,6 @@ def render_iteration_with_stats(
         scene, iteration, pix, res_x, res_y, n, base_seed,
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
-        photon_factor, query_factor, vm_exchange, rng_kind,
+        photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
         axis_name=None,
     )

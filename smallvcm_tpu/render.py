@@ -108,37 +108,51 @@ def render_single_iteration(
             rng_kind=cfg.rng_kind,
         )
     use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
+    n = res_x * res_y
     while True:
-        fb, _rays, overflow, pairs = vcm.render_iteration_with_stats(
+        # Bound pair-level memory: split the merge into query chunks so the
+        # per-chunk candidate-pair cap stays near 8M rows regardless of the
+        # total (candidate pairs grow with photon density — quadratically in
+        # resolution at a fixed merge radius).
+        chunks = max(1, -(-cfg.pair_factor * n // (8 << 20)))
+        fb, _rays, overflow, stats = vcm.render_iteration_with_stats(
             scene, iteration, res_x, res_y, cfg.base_seed,
             cfg.max_path_length, cfg.min_path_length,
             cfg.radius_factor, cfg.radius_alpha,
             use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
             pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
             query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
+            merge_chunks=chunks,
         )
-        if not use_vm or int(overflow) == 0 or cfg.pair_factor >= 512:
-            if use_vm:
-                # Right-size the pair cap for the NEXT iteration: per-pair
-                # gather cost scales with the cap, and the radius schedule
-                # shrinks the pair count monotonically. A 1.5x bucket
-                # ladder (8, 12, 16, 24, 32, ...) keeps recompiles rare
-                # (and compile-cached) without the up-to-2x overshoot of
-                # pure powers of two.
-                n = res_x * res_y
-                # Small margin: the radius schedule shrinks the candidate
-                # count monotonically across iterations, so 10% covers the
-                # per-iteration Monte Carlo wiggle without jumping a bucket.
-                needed = max(8, int(np.ceil(int(pairs) * 1.1 / n)))
-                p2 = 1 << (needed - 1).bit_length()
-                cfg.pair_factor = p2 * 3 // 4 if p2 * 3 // 4 >= needed else p2
+        if not use_vm:
             return fb
-        # Any dropped photon/query/pair/survivor biases the image; grow all
-        # caps (cheap ones included — the pair cap dominates cost) and
-        # re-render this iteration exactly (the RNG is counter-based).
-        cfg.pair_factor *= 2
-        cfg.photon_factor *= 2
-        cfg.query_factor *= 2
+        pairs, n_ph, n_q = (int(v) for v in stats)
+
+        # Right-size every cap from the measured counts (they are exact even
+        # when a cap overflowed): a 1.5x bucket ladder (8, 12, 16, 24, ...)
+        # keeps recompiles rare without the up-to-2x overshoot of pure
+        # powers of two, and a 10% margin covers per-iteration Monte Carlo
+        # wiggle (the radius schedule shrinks pair counts monotonically).
+        def bucket(needed: int) -> int:
+            needed = max(needed, 1)
+            p2 = 1 << (needed - 1).bit_length()
+            return p2 * 3 // 4 if p2 * 3 // 4 >= needed else p2
+
+        want_pair = bucket(max(8, -(-pairs * 11 // (10 * n))))
+        want_photon = bucket(-(-n_ph * 11 // (10 * n)))
+        want_query = bucket(-(-n_q * 11 // (10 * n)))
+        if int(overflow) == 0:
+            cfg.pair_factor = want_pair
+            cfg.photon_factor = max(cfg.photon_factor, want_photon)
+            cfg.query_factor = max(cfg.query_factor, want_query)
+            return fb
+        # Some photons/queries/pairs were dropped: grow each cap to its
+        # measured need (guaranteeing progress) and re-render this iteration
+        # exactly (the RNG is counter-based). A query/photon overflow can
+        # hide pairs, so pair growth must also be monotonic.
+        cfg.pair_factor = max(want_pair, bucket(cfg.pair_factor + 1))
+        cfg.photon_factor = max(cfg.photon_factor, want_photon)
+        cfg.query_factor = max(cfg.query_factor, want_query)
         print(f"[smallvcm_tpu] merge cap overflow; retrying iteration "
               f"{iteration} with pair_factor={cfg.pair_factor} "
               f"photon_factor={cfg.photon_factor} "
