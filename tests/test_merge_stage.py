@@ -116,13 +116,13 @@ def test_merge_stage_matches_dense(ppm, seed):
     queries = _random_vertices(kq, 4, n, 0.0, span, 9)
     light_verts = _random_vertices(kp, 5, n, 0.0, span, 9)
 
-    got, overflow, pairs = vcm.merge_stage(
+    got, overflow, stats = vcm.merge_stage(
         scene, misc, queries, light_verts, num_cells=2 * n,
         pair_cap=64 * n, ppm=ppm, max_path_length=7, min_path_length=0,
         photon_cap=5 * n, query_cap=4 * n, n_paths=n,
     )
     assert int(overflow) == 0
-    assert int(pairs) > 0
+    assert int(stats[0]) > 0  # candidate pairs
     want = _dense_merge(scene, misc, queries, light_verts, ppm, 7, 0, n)
     for g, w in zip(got, want):
         np.testing.assert_allclose(
@@ -141,11 +141,11 @@ def test_merge_stage_overflow_reported():
     span = float(misc.radius) * 4.0  # dense clump -> many pairs
     queries = _random_vertices(kq, 4, n, 0.0, span, 9)
     light_verts = _random_vertices(kp, 5, n, 0.0, span, 9)
-    _, overflow, pairs = vcm.merge_stage(
+    _, overflow, stats = vcm.merge_stage(
         scene, misc, queries, light_verts, num_cells=2 * n,
         pair_cap=8, ppm=False, max_path_length=9, min_path_length=0,
         photon_cap=5 * n, query_cap=4 * n, n_paths=n,
     )
     # The per-chunk cap floors at 1024 rows; anything beyond must be counted.
-    assert int(pairs) > 1024
-    assert int(overflow) >= int(pairs) - 1024
+    assert int(stats[0]) > 1024
+    assert int(overflow) >= int(stats[0]) - 1024
