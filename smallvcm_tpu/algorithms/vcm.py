@@ -928,12 +928,13 @@ def render_iteration_core(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    pair_factor: int = 24,
-    photon_factor: int = 3,
-    query_factor: int = 3,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
     merge_chunks: int = 1,
+    merge_backend: str = "xla",
     axis_name: str | None = None,
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
@@ -1146,6 +1147,27 @@ def render_iteration_core(
     merge_stats = jnp.zeros((3,), jnp.int32)
     if use_vm:
         num_cells = 2 * n_paths_global  # perf knob only; results exact
+        if merge_backend in ("pallas", "pallas_interpret"):
+            from ..ops.pallas_merge import merge_stage_pallas
+
+            def merge_fn(qs, lv, ph_cap):
+                return merge_stage_pallas(
+                    scene, misc, qs, lv,
+                    max(1024, int(pair_factor * n) // 128), ppm,
+                    max_path_length, min_path_length,
+                    _pad_mult(ph_cap, 128),
+                    _pad_mult(int(query_factor * n), 128), n,
+                    interpret=(merge_backend == "pallas_interpret"),
+                )
+        else:
+            def merge_fn(qs, lv, ph_cap):
+                return merge_stage(
+                    scene, misc, qs, lv, num_cells,
+                    int(pair_factor * n), ppm, max_path_length,
+                    min_path_length, _pad_mult(ph_cap, 8),
+                    _pad_mult(int(query_factor * n), 8 * merge_chunks), n,
+                    merge_chunks,
+                )
         if axis_name is not None and vm_exchange == "ring":
             # Ring exchange (the ring-attention communication pattern from
             # SURVEY.md §2): each shard's photons visit every shard in
@@ -1161,12 +1183,8 @@ def render_iteration_core(
 
             def ring_step(_, carry):
                 visiting, color, ovf, st = carry
-                mc, o, s2 = merge_stage(
-                    scene, misc, queries, visiting, num_cells,
-                    pair_factor * n, ppm, max_path_length, min_path_length,
-                    photon_factor * n, _pad_mult(query_factor * n,
-                                                 merge_chunks), n,
-                    merge_chunks,
+                mc, o, s2 = merge_fn(
+                    queries, visiting, int(photon_factor * n)
                 )
                 visiting = jax.tree.map(shift, visiting)
                 # pairs accumulate over hops; photon/query counts are
@@ -1182,11 +1200,9 @@ def render_iteration_core(
                 (verts, color, merge_overflow, merge_stats),
             )
         else:
-            mc, merge_overflow, merge_stats = merge_stage(
-                scene, misc, queries, light_verts_global, num_cells,
-                pair_factor * n, ppm, max_path_length, min_path_length,
-                photon_factor * n_paths_global,
-                _pad_mult(query_factor * n, merge_chunks), n, merge_chunks,
+            mc, merge_overflow, merge_stats = merge_fn(
+                queries, light_verts_global,
+                int(photon_factor * n_paths_global),
             )
             color = color + mc
 
@@ -1204,7 +1220,7 @@ _STATIC = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
     "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
     "photon_factor", "query_factor", "vm_exchange", "rng_kind",
-    "merge_chunks",
+    "merge_chunks", "merge_backend",
 )
 
 
@@ -1223,12 +1239,13 @@ def render_iteration(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    pair_factor: int = 24,
-    photon_factor: int = 3,
-    query_factor: int = 3,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
     merge_chunks: int = 1,
+    merge_backend: str = "xla",
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -1238,7 +1255,7 @@ def render_iteration(
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
-        axis_name=None,
+        merge_backend, axis_name=None,
     )
     return fb
 
@@ -1258,12 +1275,13 @@ def render_iteration_with_stats(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    pair_factor: int = 24,
-    photon_factor: int = 3,
-    query_factor: int = 3,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
     merge_chunks: int = 1,
+    merge_backend: str = "xla",
 ):
     """Like render_iteration but also returns (ray_count, merge_overflow,
     merge_pairs): traced rays (path segments + shadow/occlusion rays — the
@@ -1278,5 +1296,5 @@ def render_iteration_with_stats(
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
-        axis_name=None,
+        merge_backend, axis_name=None,
     )

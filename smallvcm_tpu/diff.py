@@ -80,7 +80,7 @@ def render_params(
     min_path_length: int = 0,
     radius_factor: float = 0.003,
     radius_alpha: float = 0.75,
-    pair_factor: int = 24,
+    pair_factor: float = 24.0,
 ) -> jnp.ndarray:
     """One iteration of the given algorithm with params substituted."""
     from .algorithms import pathtracer, vcm

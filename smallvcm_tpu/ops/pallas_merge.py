@@ -1,0 +1,481 @@
+"""Pallas TPU kernel for the photon-merge stage (dense slab evaluation).
+
+The XLA merge (algorithms/vcm.py::merge_stage) is bound by two scattered
+row gathers per candidate pair (~10 ns/row each on a v5e — ~90 ms each at
+8.4M pairs). This backend removes per-pair gathers entirely:
+
+* XLA prep: photons AND queries are compacted, then sorted by a
+  lexicographic linear cell key ``(cz, cy, cx)`` over the photon-bbox grid
+  (cell = 2r, coords clamped to a static 1024x1024x512 grid; the clamp only
+  merges boundary cells — the exact r^2 test keeps results identical,
+  hashgrid.hxx:40-107). A row table ``row_start[(cz, cy)]`` maps any
+  contiguous run of grid rows to a contiguous range of sorted photons.
+
+* Slab lists: for each tile of 128 cell-sorted queries, the 2x2x2 probe
+  neighborhoods (hashgrid.hxx:124-138) of all its queries are covered by 9
+  canonical row classes (dy, dz in {-1,0,1}; a query contributes a class
+  only when its frac-sign picks that row, so coverage matches the exact
+  per-query 4-row probe). Because queries in a tile are key-sorted, each
+  class maps to ONE contiguous photon interval via tile-level masked
+  min/max + two row_start lookups. The <=9 intervals are rounded to
+  128-photon slabs, sorted, and merged into disjoint slab runs — every
+  candidate photon appears in exactly one slab of its tile's list.
+
+* Kernel: a flattened (tile, slab) work list drives a sequential Pallas
+  grid. The query block [128, 32] stays resident in VMEM while photon
+  slabs [16, 128] stream through; each step evaluates the dense 128x128
+  pair block on the VPU (exact r^2 + path-length window + the camera-BSDF
+  evaluate and MIS weight [tech. rep. (38)-(39)], mirroring
+  ops/bsdf.py::evaluate) and accumulates per-query RGB into a revisited
+  output block.
+
+Superset slabs are safe (dense pairs are masked by the same r^2 the
+reference applies, hashgrid.hxx:157-167); duplicates would not be — the
+slab-run merge guarantees uniqueness. Not differentiable (render path
+only); AD uses the XLA merge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.vec3 import V3
+from ..core.vecmath import EPS_COSINE, EPS_PHONG, INV_PI_F
+from ..ops import bsdf as bsdf_ops
+from ..ops import hashgrid as grid_ops
+
+GRID_XY = 1024            # static cells along x and y (clamped)
+GRID_Z = 512              # static cells along z
+ROWS = GRID_Z * GRID_XY   # 2^19 (row = cz * GRID_XY + cy)
+# Sort key = row id only (19 bits + sentinel -> 2 radix passes): photon
+# intervals are whole-row granular, so x-order within a row changes
+# nothing while a full (cz,cy,cx) key would cost a third radix pass.
+_KEY_SENT = jnp.int32(1 << 19)   # > any live row id
+SLAB = 128                # photons per kernel slab
+QTILE = 128               # queries per kernel tile
+QF = 32                   # f32 fields per baked query row
+PF = 16                   # f32 fields per baked photon row
+_QSENT = jnp.float32(3e18)   # out-of-world sentinel for dead queries
+_PSENT = jnp.float32(-3e18)  # distinct sentinel for dead photons
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(
+    wt_ref, ws_ref, wf_ref,      # scalar-prefetch: work tile/slab/first
+    scal_ref,                    # [1, 4] SMEM: r^2, mis_vc_weight, -, -
+    q_ref,                       # [QTILE, QF] resident query tile
+    p_ref,                       # [PF, SLAB] streamed photon slab
+    out_ref,                     # [QTILE, 8] per-tile RGB accumulator
+    *, max_path_length: int, min_path_length: int, ppm: bool,
+):
+    w = pl.program_id(0)
+
+    @pl.when(wf_ref[w] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    r2 = scal_ref[0, 0]
+    vc_w = scal_ref[0, 1]
+
+    q = q_ref[:]                      # [128, QF]
+    p = p_ref[:]                      # [PF, 128]
+    qc = lambda j: q[:, j:j + 1]      # [128, 1] query column
+    pc = lambda j: p[j:j + 1, :]      # [1, 128] photon row
+
+    # Exact r^2 prefilter (hashgrid.hxx:157-167) + path-length window
+    # (vertexcm.hxx:132-135).
+    dx = qc(0) - pc(0)
+    dy = qc(1) - pc(1)
+    dz = qc(2) - pc(2)
+    dist2 = dx * dx + dy * dy + dz * dz
+    tlen = qc(28) + pc(12)
+    ok = (
+        (dist2 <= r2)
+        & (tlen <= jnp.float32(max_path_length))
+        & (tlen >= jnp.float32(min_path_length))
+    )
+
+    # Camera-BSDF evaluate toward the photon's incoming direction
+    # (mirrors ops/bsdf.py::evaluate == bsdf.hxx:128-153).
+    ldx, ldy, ldz = -pc(3), -pc(4), -pc(5)   # light_dir = -photon.in_dir
+    lg_x = qc(3) * ldx + qc(4) * ldy + qc(5) * ldz
+    lg_y = qc(6) * ldx + qc(7) * ldy + qc(8) * ldz
+    lg_z = qc(9) * ldx + qc(10) * ldy + qc(11) * ldz
+
+    ldf_z = qc(12)
+    same_f = (lg_z * ldf_z >= 0.0).astype(jnp.float32)
+    p_diff = qc(16)
+    p_phong = qc(17)
+
+    # Diffuse lobe (bsdf.hxx:393-412).
+    ok_d = (p_diff > 0.0) & (ldf_z >= EPS_COSINE) & (lg_z >= EPS_COSINE)
+    okd_f = ok_d.astype(jnp.float32) * same_f
+    dd = p_diff * jnp.maximum(0.0, lg_z * INV_PI_F) * okd_f
+    rd = p_diff * jnp.maximum(0.0, ldf_z * INV_PI_F) * okd_f
+
+    # Phong lobe (bsdf.hxx:414-450). One pow serves value and pdf: both
+    # are gated on dot_r_wi > EPS_PHONG, where their clamped bases agree.
+    dotr = qc(13) * lg_x + qc(14) * lg_y + qc(15) * lg_z
+    expo = qc(27)
+    ok_p = (
+        (p_phong > 0.0) & (ldf_z >= EPS_COSINE) & (lg_z >= EPS_COSINE)
+        & (dotr > EPS_PHONG)
+    )
+    okp_f = ok_p.astype(jnp.float32) * same_f
+    lobe = jnp.exp(expo * jnp.log(jnp.maximum(dotr, EPS_PHONG))) * okp_f
+    pp = p_phong * (expo + 1.0) * lobe * (0.5 * INV_PI_F)
+
+    dir_pdf = (dd + pp) * qc(18)       # * camera continuation prob
+    rev_pdf = (rd + pp) * pc(11)       # * photon continuation prob
+
+    # [tech. rep. (38)-(39)]
+    if ppm:
+        mis = jnp.ones_like(dir_pdf)
+    else:
+        w_light = pc(9) * vc_w + pc(10) * dir_pdf
+        w_camera = qc(19) * vc_w + qc(20) * rev_pdf
+        mis = 1.0 / (w_light + 1.0 + w_camera)
+
+    mis = mis * ok.astype(jnp.float32)
+    for c in range(3):
+        # factor_c = diffuse_c/pi [diffuse ok] + rho_c * lobe [phong ok]
+        fac = qc(21 + c) * okd_f + qc(24 + c) * lobe
+        contrib = fac * pc(6 + c) * mis
+        out_ref[:, c:c + 1] += jnp.sum(contrib, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side preparation
+# ---------------------------------------------------------------------------
+
+
+def _f2i(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _i2f(a):
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _source_payload(verts):
+    """Full-width [L*N, 16] f32 rows: pos3 | in_dir3 | normal3 | thr3 |
+    d_vcm | d_vm | mat_bits | valid. One wide-row gather then moves a
+    vertex (TPU gathers cost per row, not per element)."""
+    flat = lambda a: jax.lax.stop_gradient(a).reshape((-1,))
+    return jnp.stack([
+        flat(verts.position.x), flat(verts.position.y),
+        flat(verts.position.z),
+        flat(verts.in_dir.x), flat(verts.in_dir.y), flat(verts.in_dir.z),
+        flat(verts.normal.x), flat(verts.normal.y), flat(verts.normal.z),
+        flat(verts.throughput.x), flat(verts.throughput.y),
+        flat(verts.throughput.z),
+        flat(verts.d_vcm), flat(verts.d_vm),
+        _i2f(verts.mat_id.reshape((-1,))),
+        verts.valid.reshape((-1,)).astype(jnp.float32),
+    ], axis=1)
+
+
+def _cells_of(x, y, z, mins, inv_cell, live):
+    """Clamped integer cell coords (cell = 2r, hashgrid.hxx:64)."""
+    rel = lambda a, mn: jnp.where(live, (a - mn) * inv_cell, 0.0)
+    rx, ry, rz = rel(x, mins[0]), rel(y, mins[1]), rel(z, mins[2])
+    cl = lambda r, hi: jnp.clip(jnp.floor(r).astype(jnp.int32), 0, hi - 1)
+    sgn = lambda r: jnp.where(r - jnp.floor(r) < 0.5, -1, 1).astype(jnp.int32)
+    return (
+        (cl(rx, GRID_XY), cl(ry, GRID_XY), cl(rz, GRID_Z)),
+        (sgn(rx), sgn(ry), sgn(rz)),
+    )
+
+
+def _compact_sorted(payload, keys, cap: int):
+    """Compact live rows (valid in payload col 15) to ``cap`` slots sorted
+    by key. Returns (rows [cap, 16], src index [cap], count, overflow).
+    Dead slots sort last (their key is the sentinel, strictly above any
+    live key, so sorted position < count <=> live)."""
+    valid = payload[:, 15] > 0.0
+    idx, count, ovf = grid_ops.compact_indices(valid, cap)
+    keys_c = jnp.where(
+        jnp.arange(cap, dtype=jnp.int32) < count, keys[idx], _KEY_SENT
+    )
+    order = grid_ops.stable_radix_argsort(keys_c.astype(jnp.uint32), 20)
+    src = idx[order.astype(jnp.int32)]
+    return payload[src], src, count, ovf
+
+
+def merge_stage_pallas(
+    scene, misc, queries, light_verts, work_cap: int, ppm: bool,
+    max_path_length: int, min_path_length: int,
+    photon_cap: int, query_cap: int, n_paths: int,
+    interpret: bool = False,
+):
+    """Drop-in replacement for merge_stage (same contract; hash cell count
+    and merge_chunks do not apply). ``work_cap`` bounds the flattened
+    (tile, slab) work list; stats[0] reports used work * SLAB so the
+    driver's pair_factor ladder sizes it exactly like the XLA pair cap.
+
+    Returns (color_add V3 [n_paths], overflow, stats[3]).
+    """
+    assert photon_cap % SLAB == 0 and query_cap % QTILE == 0
+    lq, n = queries.valid.shape
+    ll, n_ph = light_verts.valid.shape
+    assert n == n_paths
+    n_tiles = query_cap // QTILE
+    n_slabs = photon_cap // SLAB
+    sg = jax.lax.stop_gradient
+
+    # ---- Photons: bbox, keys, compact + sort, bake, row table. -----------
+    psrc = _source_payload(light_verts)
+    pv = psrc[:, 15] > 0.0
+    big = jnp.float32(1e36)
+    vmin = lambda c: jnp.min(jnp.where(pv, psrc[:, c], big))
+    vmax = lambda c: jnp.max(jnp.where(pv, psrc[:, c], -big))
+    mins = (vmin(0), vmin(1), vmin(2))
+    maxs = (vmax(0), vmax(1), vmax(2))
+    inv_cell = sg(1.0 / (misc.radius * 2.0))
+
+    (pcx, pcy, pcz), _ = _cells_of(
+        psrc[:, 0], psrc[:, 1], psrc[:, 2], mins, inv_cell, pv
+    )
+    prow_id = pcz * GRID_XY + pcy
+    pkey = jnp.where(pv, prow_id, _KEY_SENT)
+    prows, psrc_idx, n_p, ovf_p = _compact_sorted(psrc, pkey, photon_cap)
+    plive = jnp.arange(photon_cap, dtype=jnp.int32) < n_p
+
+    row_hist = jnp.zeros((ROWS + 1,), jnp.int32).at[
+        jnp.where(pv, prow_id, ROWS)
+    ].add(1)
+    row_start = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(row_hist)[:-1].astype(jnp.int32),
+    ])  # [ROWS + 1]; row_start[ROWS] == live photon count
+
+    # Bake the kernel photon table [PF, photon_cap]:
+    # 0-2 pos | 3-5 in_dir | 6-8 throughput | 9 d_vcm | 10 d_vm |
+    # 11 continuation prob | 12 path length | 13-15 pad.
+    p_in = V3(prows[:, 3], prows[:, 4], prows[:, 5])
+    p_nrm = V3(prows[:, 6], prows[:, 7], prows[:, 8])
+    p_mat = _f2i(prows[:, 14])
+    p_cont = bsdf_ops.setup(scene.materials, p_in, p_nrm, p_mat,
+                            plive).cont_prob
+    p_len = (psrc_idx // n_ph + 1).astype(jnp.float32)
+    pm = lambda a: jnp.where(plive, a, 0.0)
+    zp = jnp.zeros((photon_cap,), jnp.float32)
+    ptab = jnp.stack([
+        jnp.where(plive, prows[:, 0], _PSENT),
+        jnp.where(plive, prows[:, 1], _PSENT),
+        jnp.where(plive, prows[:, 2], _PSENT),
+        pm(prows[:, 3]), pm(prows[:, 4]), pm(prows[:, 5]),
+        pm(prows[:, 9]), pm(prows[:, 10]), pm(prows[:, 11]),
+        pm(prows[:, 12]), pm(prows[:, 13]),
+        pm(p_cont), pm(p_len), zp, zp, zp,
+    ], axis=0)  # [PF, photon_cap]
+
+    # ---- Queries: keys, compact + sort, bake. ----------------------------
+    qsrc = _source_payload(queries)
+    qv0 = qsrc[:, 15] > 0.0
+    (qcx0, qcy0, qcz0), (qsx0, qsy0, qsz0) = _cells_of(
+        qsrc[:, 0], qsrc[:, 1], qsrc[:, 2], mins, inv_cell, qv0
+    )
+    qkey_all = jnp.where(qv0, qcz0 * GRID_XY + qcy0, _KEY_SENT)
+    qrows, qsrc_idx, n_q, ovf_q = _compact_sorted(qsrc, qkey_all, query_cap)
+    qlive = jnp.arange(query_cap, dtype=jnp.int32) < n_q
+
+    qx, qy, qz = qrows[:, 0], qrows[:, 1], qrows[:, 2]
+    in_bbox = (
+        (qx >= mins[0]) & (qx <= maxs[0])
+        & (qy >= mins[1]) & (qy <= maxs[1])
+        & (qz >= mins[2]) & (qz <= maxs[2])
+    )  # hashgrid.hxx:116-122
+    (qcx, qcy, qcz), (_, qsy, qsz) = _cells_of(
+        qx, qy, qz, mins, inv_cell, qlive
+    )
+
+    q_in = V3(qrows[:, 3], qrows[:, 4], qrows[:, 5])
+    q_nrm = V3(qrows[:, 6], qrows[:, 7], qrows[:, 8])
+    q_mat = _f2i(qrows[:, 14])
+    b = bsdf_ops.setup(scene.materials, q_in, q_nrm, q_mat, qlive)
+    diffuse = sg(scene.materials.diffuse[b.mat_id])
+    phong = sg(scene.materials.phong[b.mat_id])
+    expo = sg(scene.materials.exponent[b.mat_id])
+    rho_s = (expo + 2.0) * (0.5 * INV_PI_F)
+    q_len = (qsrc_idx // n + 1).astype(jnp.float32)
+    q_path = (qsrc_idx % n).astype(jnp.int32)
+
+    qm = lambda a: jnp.where(qlive, a, 0.0)
+    zq = jnp.zeros((query_cap,), jnp.float32)
+    # Baked query rows [query_cap, QF]: 0-2 pos | 3-11 frame x/y/z |
+    # 12 local_dir_fix.z | 13-15 refl_fix | 16 prob_diff | 17 prob_phong |
+    # 18 cont | 19 d_vcm | 20 d_vm | 21-23 diffuse/pi | 24-26 phong rho |
+    # 27 exponent | 28 path length | 29-31 throughput.
+    # Out-of-bbox queries get the sentinel too: the reference skips them
+    # before probing (hashgrid.hxx:116-122), but the dense tile evaluates
+    # every resident query against slabs its tile-mates requested — the
+    # sentinel keeps those lanes out of radius, matching the reference.
+    q_on = qlive & in_bbox
+    qtab = jnp.stack([
+        jnp.where(q_on, qx, _QSENT),
+        jnp.where(q_on, qy, _QSENT),
+        jnp.where(q_on, qz, _QSENT),
+        qm(b.frame_x.x), qm(b.frame_x.y), qm(b.frame_x.z),
+        qm(b.frame_y.x), qm(b.frame_y.y), qm(b.frame_y.z),
+        qm(b.frame_z.x), qm(b.frame_z.y), qm(b.frame_z.z),
+        qm(b.local_dir_fix.z),
+        qm(-b.local_dir_fix.x), qm(-b.local_dir_fix.y),
+        qm(b.local_dir_fix.z),
+        # evaluate() gates every lobe on state.valid (|ldf.z| >= eps,
+        # mat >= 0); zeroed probabilities reproduce that gate exactly.
+        jnp.where(qlive & b.valid, b.prob_diff, 0.0),
+        jnp.where(qlive & b.valid, b.prob_phong, 0.0),
+        qm(b.cont_prob),
+        qm(qrows[:, 12]), qm(qrows[:, 13]),
+        qm(diffuse.x * INV_PI_F), qm(diffuse.y * INV_PI_F),
+        qm(diffuse.z * INV_PI_F),
+        qm(phong.x * rho_s), qm(phong.y * rho_s), qm(phong.z * rho_s),
+        qm(expo), qm(q_len),
+        qm(qrows[:, 9]), qm(qrows[:, 10]), qm(qrows[:, 11]),
+    ], axis=1)
+
+    # ---- Per-tile photon intervals: 9 canonical row classes. -------------
+    t = lambda a: a.reshape((n_tiles, QTILE))
+    cy_t, cz_t = t(qcy), t(qcz)
+    sy_t, sz_t = t(qsy), t(qsz)
+    probe_t = t(qlive & in_bbox)
+
+    los, his = [], []
+    for dz_c in (-1, 0, 1):
+        for dy_c in (-1, 0, 1):
+            m = probe_t
+            if dy_c != 0:
+                m = m & (sy_t == dy_c)
+            if dz_c != 0:
+                m = m & (sz_t == dz_c)
+            tr = (
+                jnp.clip(cz_t + dz_c, 0, GRID_Z - 1) * GRID_XY
+                + jnp.clip(cy_t + dy_c, 0, GRID_XY - 1)
+            )
+            tr_min = jnp.min(jnp.where(m, tr, ROWS), axis=1)
+            tr_max = jnp.max(jnp.where(m, tr, -1), axis=1)
+            empty = tr_max < 0
+            lo = row_start[jnp.where(empty, 0, tr_min)]
+            hi = row_start[jnp.where(empty, 0, tr_max + 1)]
+            bad = empty | (hi <= lo)
+            los.append(jnp.where(bad, jnp.int32(1 << 30), lo // SLAB))
+            his.append(jnp.where(bad, 0, (hi + SLAB - 1) // SLAB))
+    s_lo = jnp.stack(los, axis=1)                      # [n_tiles, 9]
+    s_hi = jnp.stack(his, axis=1)
+    s_lo, s_hi = jax.lax.sort((s_lo, s_hi), dimension=1, num_keys=1)
+
+    # Merge overlapping/adjacent slab ranges (each slab must appear once).
+    cummax_hi = jax.lax.cummax(s_hi, axis=1)
+    prev_hi = jnp.concatenate(
+        [jnp.full((n_tiles, 1), -1, jnp.int32), cummax_hi[:, :-1]], axis=1
+    )
+    group_id = jnp.cumsum((s_lo > prev_hi).astype(jnp.int32), axis=1) - 1
+    glo_l, ghi_l = [], []
+    for g in range(9):
+        member = group_id == g
+        glo_l.append(
+            jnp.min(jnp.where(member, s_lo, jnp.int32(1 << 30)), axis=1)
+        )
+        ghi_l.append(jnp.max(jnp.where(member, s_hi, 0), axis=1))
+    glo = jnp.stack(glo_l, axis=1)
+    ghi = jnp.stack(ghi_l, axis=1)
+    glen = jnp.where(glo >= (1 << 30), 0, jnp.maximum(ghi - glo, 0))
+
+    # ---- Flatten to the (tile, slab) work list. --------------------------
+    glen_f = glen.reshape((-1,))                       # [n_tiles * 9]
+    glo_f = jnp.where(glen_f > 0, glo.reshape((-1,)), 0)
+    offs = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(glen_f)[:-1].astype(jnp.int32),
+    ])
+    total_work = offs[-1] + glen_f[-1]
+    ovf_w = jnp.maximum(total_work - work_cap, 0)
+
+    seg_head = jnp.zeros((work_cap,), jnp.int32).at[offs].max(
+        jnp.where(
+            glen_f > 0, jnp.arange(glen_f.shape[0], dtype=jnp.int32), 0
+        ),
+        mode="drop",
+    )
+    seg = jax.lax.cummax(seg_head)
+    iota = jnp.arange(work_cap, dtype=jnp.int32)
+    rank = iota - offs[seg]
+    w_ok = (iota < total_work) & (rank >= 0) & (rank < glen_f[seg])
+    work_slab = jnp.where(
+        w_ok, jnp.clip(glo_f[seg] + rank, 0, n_slabs - 1), 0
+    )
+    work_tile = jnp.where(w_ok, seg // 9, n_tiles)     # dummy tile if dead
+    prev_tile = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), work_tile[:-1]]
+    )
+    work_first = (work_tile != prev_tile).astype(jnp.int32)
+
+    # ---- Kernel launch. --------------------------------------------------
+    qtab_pad = jnp.concatenate(
+        [qtab, jnp.full((QTILE, QF), _QSENT, jnp.float32)], axis=0
+    )
+    scal = jnp.stack([
+        misc.radius_sqr.astype(jnp.float32),
+        jnp.asarray(misc.mis_vc_weight, jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0),
+    ]).reshape(1, 4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(work_cap,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda w, wt, ws, wf: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((QTILE, QF), lambda w, wt, ws, wf: (wt[w], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PF, SLAB), lambda w, wt, ws, wf: (0, ws[w]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (QTILE, 8), lambda w, wt, ws, wf: (wt[w], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, max_path_length=max_path_length,
+            min_path_length=min_path_length, ppm=ppm,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(((n_tiles + 1) * QTILE, 8),
+                                       jnp.float32),
+        # Shape-qualified name: the tunneled backend's program cache has
+        # been observed to confuse same-named Mosaic kernels compiled at
+        # different shapes (second executable faults on re-execution).
+        name=f"merge_dense_{photon_cap}_{query_cap}_{work_cap}_{int(ppm)}",
+        interpret=interpret,
+    )(work_tile, work_slab, work_first, scal, qtab_pad, ptab)
+
+    # ---- Unvisited tiles hold garbage; mask, scale, route to paths. ------
+    visited = jnp.sum(glen, axis=1) > 0                # [n_tiles]
+    vmask = jnp.repeat(visited, QTILE)
+    acc = jnp.where(vmask[:, None], out[: n_tiles * QTILE, :3], 0.0)
+    acc = acc * qtab[:, 29:32] * misc.vm_normalization
+
+    pdst = jnp.where(qlive & vmask, q_path, n)
+    z = jnp.zeros((n,), jnp.float32)
+    color_add = V3(
+        z.at[pdst].add(acc[:, 0], mode="drop"),
+        z.at[pdst].add(acc[:, 1], mode="drop"),
+        z.at[pdst].add(acc[:, 2], mode="drop"),
+    )
+    overflow = ovf_p + ovf_q + ovf_w
+    stats = jnp.stack([
+        jnp.minimum(total_work, jnp.int32(1 << 24)) * SLAB, n_p, n_q,
+    ])
+    return color_add, overflow, stats

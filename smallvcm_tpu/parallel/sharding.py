@@ -54,11 +54,12 @@ def sharded_render_iteration(
     use_vm: bool = True,
     light_trace_only: bool = False,
     ppm: bool = False,
-    pair_factor: int = 24,
-    photon_factor: int = 3,
-    query_factor: int = 3,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
+    merge_backend: str = "xla",
 ) -> jnp.ndarray:
     """One VCM-family iteration with paths sharded over ``mesh``.
 
@@ -93,7 +94,7 @@ def sharded_render_iteration(
             max_path_length, min_path_length, radius_factor, radius_alpha,
             use_vc, use_vm, light_trace_only, ppm, pair_factor,
             photon_factor, query_factor, vm_exchange, rng_kind,
-            axis_name=AXIS,
+            merge_backend=merge_backend, axis_name=AXIS,
         )
 
     fb, _rays, _overflow, _pairs = run(scene, pix)

@@ -57,9 +57,14 @@ class RenderConfig:
     min_path_length: int = 0
     resolution: tuple = (512, 512)
     rng_kind: str = "threefry"  # or "tea" (the reference's old_rng flavor)
-    pair_factor: int = 24
-    photon_factor: int = 3
-    query_factor: int = 3
+    pair_factor: float = 24.0
+    photon_factor: float = 3.0
+    query_factor: float = 3.0
+    # photon-merge backend: "pallas" = dense-slab kernel (TPU only),
+    # "xla" = pair expansion (portable, differentiable), "auto" = pallas
+    # on TPU. Default stays "xla" until a tunneled-backend fault seen in
+    # repeated pallas driver iterations is resolved (see STATUS.md).
+    merge_backend: str = "xla"
     # multi-device execution (None => single device)
     mesh: Optional[object] = None
 
@@ -109,12 +114,18 @@ def render_single_iteration(
         )
     use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
     n = res_x * res_y
+    backend = cfg.merge_backend
+    if backend == "auto":
+        import jax
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     while True:
         # Bound pair-level memory: split the merge into query chunks so the
         # per-chunk candidate-pair cap stays near 8M rows regardless of the
         # total (candidate pairs grow with photon density — quadratically in
-        # resolution at a fixed merge radius).
-        chunks = max(1, -(-cfg.pair_factor * n // (8 << 20)))
+        # resolution at a fixed merge radius). The Pallas backend has no
+        # pair-wide arrays, so it never needs chunking.
+        chunks = 1 if backend != "xla" else max(
+            1, int(-(-int(cfg.pair_factor * n) // (8 << 20))))
         fb, _rays, overflow, stats = vcm.render_iteration_with_stats(
             scene, iteration, res_x, res_y, cfg.base_seed,
             cfg.max_path_length, cfg.min_path_length,
@@ -122,35 +133,51 @@ def render_single_iteration(
             use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
             pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
             query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
-            merge_chunks=chunks,
+            merge_chunks=chunks, merge_backend=backend,
         )
         if not use_vm:
             return fb
         pairs, n_ph, n_q = (int(v) for v in stats)
 
         # Right-size every cap from the measured counts (they are exact even
-        # when a cap overflowed): a 1.5x bucket ladder (8, 12, 16, 24, ...)
-        # keeps recompiles rare without the up-to-2x overshoot of pure
-        # powers of two, and a 10% margin covers per-iteration Monte Carlo
-        # wiggle (the radius schedule shrinks pair counts monotonically).
-        def bucket(needed: int) -> int:
-            needed = max(needed, 1)
-            p2 = 1 << (needed - 1).bit_length()
-            return p2 * 3 // 4 if p2 * 3 // 4 >= needed else p2
+        # when a cap overflowed). Caps are quantized to a ~1.25x bucket
+        # ladder (mantissa 4-7 x power of two) so padding waste stays under
+        # ~25% (every op downstream of compaction runs at cap width, not
+        # live width); a 10% margin covers per-iteration Monte Carlo wiggle.
+        def bucket(needed: float) -> float:
+            """Smallest m*2^e >= needed with mantissa m in {4,5,6,7},
+            as a factor of n (so the jit static args repeat exactly)."""
+            needed = max(needed, 1024)
+            e = max(0, int(needed).bit_length() - 3)
+            for m in (4, 5, 6, 7, 8):
+                if m << e >= needed:
+                    return float(m << e) / n
+            return float(8 << e) / n
 
-        want_pair = bucket(max(8, -(-pairs * 11 // (10 * n))))
-        want_photon = bucket(-(-n_ph * 11 // (10 * n)))
-        want_query = bucket(-(-n_q * 11 // (10 * n)))
+        # Shrinking a cap recompiles (~30-60 s on the tunneled backend) to
+        # save a slice of per-iteration work, so it only pays when the cap
+        # is way oversized. The radius schedule shrinks pair counts like
+        # (i+1)^-0.25, so with a 2x-hysteresis shrink there are only ~log2
+        # shrink recompiles over an entire progressive run.
+        def want(needed: float, current: float) -> float:
+            b = bucket(needed)
+            if b >= current:
+                return b          # growth is always applied (exactness)
+            return b if b * 2.0 <= current else current
+
+        want_pair = want(pairs * 1.1, cfg.pair_factor)
+        want_photon = want(n_ph * 1.1, cfg.photon_factor)
+        want_query = want(n_q * 1.1, cfg.query_factor)
         if int(overflow) == 0:
             cfg.pair_factor = want_pair
-            cfg.photon_factor = max(cfg.photon_factor, want_photon)
-            cfg.query_factor = max(cfg.query_factor, want_query)
+            cfg.photon_factor = want_photon
+            cfg.query_factor = want_query
             return fb
         # Some photons/queries/pairs were dropped: grow each cap to its
         # measured need (guaranteeing progress) and re-render this iteration
         # exactly (the RNG is counter-based). A query/photon overflow can
         # hide pairs, so pair growth must also be monotonic.
-        cfg.pair_factor = max(want_pair, bucket(cfg.pair_factor + 1))
+        cfg.pair_factor = max(want_pair, bucket(cfg.pair_factor * n * 1.26))
         cfg.photon_factor = max(cfg.photon_factor, want_photon)
         cfg.query_factor = max(cfg.query_factor, want_query)
         print(f"[smallvcm_tpu] merge cap overflow; retrying iteration "

@@ -1,0 +1,70 @@
+"""Pallas dense-slab merge backend vs the XLA merge (interpreter mode).
+
+The Pallas backend (ops/pallas_merge.py) rebuilds the photon merge around
+cell-sorted slabs and per-tile dense evaluation; this pins it against the
+XLA merge_stage, which is itself pinned against a dense all-pairs oracle
+(test_merge_stage.py). Runs the kernel in interpreter mode so the check
+works on the CPU CI mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from smallvcm_tpu.algorithms import vcm
+from smallvcm_tpu.ops.pallas_merge import merge_stage_pallas
+from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
+
+from .test_merge_stage import _random_vertices
+
+
+@pytest.mark.parametrize("ppm", [False, True])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_merge_matches_xla(ppm, seed):
+    res = 8
+    n = res * res
+    scene = load_cornell_box((res, res), SCENE_CONFIGS[1])
+    misc = vcm.compute_misc(scene, 0, n, 0.05, 0.75, True, True)
+
+    key = jax.random.PRNGKey(seed)
+    kq, kp = jax.random.split(key)
+    span = float(misc.radius) * 30.0
+    queries = _random_vertices(kq, 4, n, 0.0, span, 9)
+    light_verts = _random_vertices(kp, 5, n, 0.0, span, 9)
+
+    want, ovf_x, _ = vcm.merge_stage(
+        scene, misc, queries, light_verts, num_cells=2 * n,
+        pair_cap=64 * n, ppm=ppm, max_path_length=7, min_path_length=0,
+        photon_cap=5 * n, query_cap=4 * n, n_paths=n,
+    )
+    assert int(ovf_x) == 0
+
+    got, ovf_p, stats = merge_stage_pallas(
+        scene, misc, queries, light_verts, work_cap=8192, ppm=ppm,
+        max_path_length=7, min_path_length=0,
+        photon_cap=384, query_cap=256, n_paths=n, interpret=True,
+    )
+    assert int(ovf_p) == 0
+    assert int(stats[0]) > 0
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=3e-5, atol=1e-7
+        )
+
+
+def test_pallas_merge_work_overflow_reported():
+    res = 8
+    n = res * res
+    scene = load_cornell_box((res, res), SCENE_CONFIGS[1])
+    misc = vcm.compute_misc(scene, 0, n, 0.05, 0.75, True, True)
+    key = jax.random.PRNGKey(2)
+    kq, kp = jax.random.split(key)
+    span = float(misc.radius) * 4.0
+    queries = _random_vertices(kq, 4, n, 0.0, span, 9)
+    light_verts = _random_vertices(kp, 5, n, 0.0, span, 9)
+    _, overflow, stats = merge_stage_pallas(
+        scene, misc, queries, light_verts, work_cap=2, ppm=False,
+        max_path_length=9, min_path_length=0,
+        photon_cap=384, query_cap=256, n_paths=n, interpret=True,
+    )
+    assert int(overflow) > 0
+    assert int(stats[0]) > 2 * 128
