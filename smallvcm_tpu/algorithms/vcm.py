@@ -968,6 +968,34 @@ def render_iteration_core(
             ray_count = jax.lax.psum(ray_count, axis_name)
         return out, ray_count, jnp.zeros((), jnp.int32), jnp.zeros((3,), jnp.int32)
 
+    color, queries, light_verts_global, sx, sy, cam_rays = _camera_stage(
+        scene, misc, verts, pix, iteration, res_x, base_seed,
+        max_path_length, min_path_length, use_vc, use_vm, ppm, rng_kind,
+        vm_exchange, axis_name,
+    )
+    ray_count = ray_count + cam_rays
+    return _merge_finish(
+        scene, misc, n, n_paths_global, verts, fb, color, queries,
+        light_verts_global, sx, sy, ray_count,
+        max_path_length, min_path_length, use_vm, ppm,
+        pair_factor, photon_factor, query_factor, vm_exchange,
+        merge_chunks, merge_backend, axis_name,
+    )
+
+
+def _camera_stage(
+    scene, misc, verts, pix, iteration, res_x, base_seed,
+    max_path_length, min_path_length, use_vc, use_vm, ppm, rng_kind,
+    vm_exchange, axis_name,
+):
+    """Stage 2 (+ the cross-shard photon all-gather): camera sub-paths.
+
+    Its shapes are independent of the merge caps, so a driver can jit it
+    separately from the merge stage (see trace_iteration /
+    merge_finish_iteration below). Returns
+    (color, queries, light_verts_global, sx, sy, camera_ray_count).
+    """
+    n = pix.shape[0]
     if use_vm and axis_name is not None and vm_exchange == "allgather":
         # Cross-shard photon exchange: gather every shard's vertices so local
         # camera vertices merge against the global photon map (the reference
@@ -1140,9 +1168,17 @@ def render_iteration_core(
         0, max_path_length, bounce,
         (state, color, queries, jnp.zeros((), jnp.int32)),
     )
-    ray_count = ray_count + cam_rays
+    return color, queries, light_verts_global, sx, sy, cam_rays
 
-    # ---- Stage 3: deferred merging.
+
+def _merge_finish(
+    scene, misc, n, n_paths_global, verts, fb, color, queries,
+    light_verts_global, sx, sy, ray_count,
+    max_path_length, min_path_length, use_vm, ppm,
+    pair_factor, photon_factor, query_factor, vm_exchange,
+    merge_chunks, merge_backend, axis_name,
+):
+    """Stage 3 (deferred merging) + framebuffer splat + cross-shard sums."""
     merge_overflow = jnp.zeros((), jnp.int32)
     merge_stats = jnp.zeros((3,), jnp.int32)
     if use_vm:
@@ -1297,4 +1333,148 @@ def render_iteration_with_stats(
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
         merge_backend, axis_name=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split iteration: trace and merge as separate executables.
+#
+# The tunneled TPU runtime has been observed to fault when RE-executing a
+# large executable that embeds a Mosaic (Pallas) kernel once a second shape
+# variant of that executable has been compiled — exactly what the driver's
+# merge-cap re-bucketing produces. Standalone merge executables alternate
+# shapes and re-execute without issue (verified empirically), so the pallas
+# backend runs the iteration as two jits. Bonus: cap changes recompile only
+# the merge stage (~20 s instead of ~40 s), and an overflow retry reuses the
+# traced sub-paths instead of re-tracing them.
+# ---------------------------------------------------------------------------
+
+_STATIC_TRACE = (
+    "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
+    "use_vc", "ppm", "rng_kind",
+)
+
+
+@partial(jax.jit, static_argnames=_STATIC_TRACE)
+def trace_iteration(
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    use_vc: bool = True,
+    ppm: bool = False,
+    rng_kind: str = "threefry",
+):
+    """Stages 1-2 of a single-device merging iteration (use_vm algorithms
+    only; bpt/lt never merge so they use render_iteration directly).
+
+    Returns (fb_planes, color, queries, light_verts, sx, sy, ray_count) —
+    feed verbatim to merge_finish_iteration. Shapes depend only on the
+    resolution and path length, never on the merge caps.
+    """
+    n = res_x * res_y
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    misc = compute_misc(
+        scene, iteration, n, radius_factor, radius_alpha, use_vc, True
+    )
+    fb = new_fb_planes(res_x, res_y)
+    verts, fb, ray_count = trace_light_paths(
+        scene, misc, pix, iteration, fb, base_seed, max_path_length,
+        min_path_length, use_vc, True, False, rng_kind,
+    )
+    color, queries, _lv, sx, sy, cam_rays = _camera_stage(
+        scene, misc, verts, pix, iteration, res_x, base_seed,
+        max_path_length, min_path_length, use_vc, True, ppm, rng_kind,
+        "allgather", None,
+    )
+    return fb, color, queries, verts, sx, sy, ray_count + cam_rays
+
+
+_STATIC_MEASURE = (
+    "res_x", "res_y", "max_path_length", "min_path_length",
+    "photon_factor", "query_factor", "ppm",
+)
+
+
+@partial(jax.jit, static_argnames=_STATIC_MEASURE)
+def merge_measure_iteration(
+    scene: SceneData,
+    iteration,
+    traced,
+    res_x: int,
+    res_y: int,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
+    ppm: bool = False,
+):
+    """XLA-only dry run of the pallas merge prep over a trace_iteration
+    result. Returns (overflow, stats) where stats = [work-list demand in
+    pair-equivalents (slabs*128), live photons, live queries] at these
+    photon/query caps. Lets the driver size every cap exactly BEFORE
+    compiling the single Mosaic kernel the process will ever hold."""
+    from ..ops.pallas_merge import merge_stage_pallas
+
+    fb, color, queries, verts, sx, sy, ray_count = traced
+    n = res_x * res_y
+    misc = compute_misc(
+        scene, iteration, n, radius_factor, radius_alpha, True, True
+    )
+    _, overflow, stats = merge_stage_pallas(
+        scene, misc, queries, verts, 0, ppm,
+        max_path_length, min_path_length,
+        _pad_mult(int(photon_factor * n), 128),
+        _pad_mult(int(query_factor * n), 128), n,
+        measure_only=True,
+    )
+    return overflow, stats
+
+
+_STATIC_MERGE = (
+    "res_x", "res_y", "max_path_length", "min_path_length", "use_vc",
+    "ppm", "pair_factor", "photon_factor", "query_factor", "merge_chunks",
+    "merge_backend",
+)
+
+
+@partial(jax.jit, static_argnames=_STATIC_MERGE)
+def merge_finish_iteration(
+    scene: SceneData,
+    iteration,
+    traced,
+    res_x: int,
+    res_y: int,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    use_vc: bool = True,
+    ppm: bool = False,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
+    merge_chunks: int = 1,
+    merge_backend: str = "pallas",
+):
+    """Stage 3 over a trace_iteration result. Returns the same
+    (image, ray_count, overflow, stats) tuple as render_iteration_with_stats.
+    """
+    fb, color, queries, verts, sx, sy, ray_count = traced
+    n = res_x * res_y
+    misc = compute_misc(
+        scene, iteration, n, radius_factor, radius_alpha, use_vc, True
+    )
+    return _merge_finish(
+        scene, misc, n, n, verts, fb, color, queries, verts, sx, sy,
+        ray_count, max_path_length, min_path_length, True, ppm,
+        pair_factor, photon_factor, query_factor, "allgather",
+        merge_chunks, merge_backend, axis_name=None,
     )

@@ -61,6 +61,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "LEGACY_RNG mixing function (its old_rng flavor)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard paths over this many devices (0 = all local)")
+    p.add_argument("--merge-backend", default="xla",
+                   choices=("auto", "pallas", "xla"),
+                   help="photon-merge backend: pallas = dense-slab TPU "
+                        "kernel, xla = portable pair expansion, auto = "
+                        "pallas on a single TPU device")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="print per-iteration luminance/timing metrics")
     return p
@@ -95,6 +100,7 @@ def main(argv=None) -> int:
         min_path_length=args.min_path_length,
         resolution=tuple(args.resolution),
         rng_kind=args.rng_kind,
+        merge_backend=args.merge_backend,
     )
 
     output = args.output_name or build_default_filename(scene_config, algorithm)

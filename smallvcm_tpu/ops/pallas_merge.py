@@ -215,7 +215,7 @@ def merge_stage_pallas(
     scene, misc, queries, light_verts, work_cap: int, ppm: bool,
     max_path_length: int, min_path_length: int,
     photon_cap: int, query_cap: int, n_paths: int,
-    interpret: bool = False,
+    interpret: bool = False, measure_only: bool = False,
 ):
     """Drop-in replacement for merge_stage (same contract; hash cell count
     and merge_chunks do not apply). ``work_cap`` bounds the flattened
@@ -223,6 +223,15 @@ def merge_stage_pallas(
     driver's pair_factor ladder sizes it exactly like the XLA pair cap.
 
     Returns (color_add V3 [n_paths], overflow, stats[3]).
+
+    With ``measure_only`` the Mosaic kernel is never lowered: the call
+    returns (None, overflow, stats) after the XLA-side prep, where stats[0]
+    is the EXACT work-list demand (slabs * SLAB) the kernel would see at
+    these photon/query caps. The driver uses this to compile the real
+    kernel exactly once per process at right-sized caps — the tunneled TPU
+    runtime has been observed to fault re-executing Mosaic programs once a
+    second shape variant exists in the process, so cap re-bucketing must
+    happen before the one and only pallas compile (see render.py).
     """
     assert photon_cap % SLAB == 0 and query_cap % QTILE == 0
     lq, n = queries.valid.shape
@@ -399,6 +408,11 @@ def merge_stage_pallas(
         jnp.cumsum(glen_f)[:-1].astype(jnp.int32),
     ])
     total_work = offs[-1] + glen_f[-1]
+    if measure_only:
+        stats = jnp.stack([
+            jnp.minimum(total_work, jnp.int32(1 << 24)) * SLAB, n_p, n_q,
+        ])
+        return None, ovf_p + ovf_q, stats
     ovf_w = jnp.maximum(total_work - work_cap, 0)
 
     seg_head = jnp.zeros((work_cap,), jnp.int32).at[offs].max(

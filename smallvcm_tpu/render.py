@@ -62,9 +62,16 @@ class RenderConfig:
     query_factor: float = 3.0
     # photon-merge backend: "pallas" = dense-slab kernel (TPU only),
     # "xla" = pair expansion (portable, differentiable), "auto" = pallas
-    # on TPU. Default stays "xla" until a tunneled-backend fault seen in
-    # repeated pallas driver iterations is resolved (see STATUS.md).
+    # on single-device TPU, xla otherwise. Default stays "xla": the
+    # tunneled TPU runtime still faults re-executing the Mosaic kernel in
+    # byte-pattern-dependent ways (see _render_iteration_pallas).
     merge_backend: str = "xla"
+    # One Mosaic kernel shape per process: the tunneled TPU runtime has
+    # been observed to fault re-executing a Mosaic-bearing executable once
+    # a second shape variant of the kernel exists in the process, so the
+    # pallas driver measures the merge workload with an XLA-only dry run,
+    # freezes all caps, compiles the kernel once, and never re-buckets.
+    merge_caps_frozen: bool = False
     # multi-device execution (None => single device)
     mesh: Optional[object] = None
 
@@ -117,20 +124,152 @@ def render_single_iteration(
     backend = cfg.merge_backend
     if backend == "auto":
         import jax
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and cfg.mesh is None
+            else "xla"
+        )
+    if backend.startswith("pallas") and use_vm and cfg.mesh is None:
+        return _render_iteration_pallas(
+            scene, cfg, iteration, use_vc, ppm, backend
+        )
+    return _render_iteration_xla(
+        scene, cfg, iteration, use_vc, use_vm, lt_only, ppm, backend
+    )
+
+
+def _bucket(needed: float, n: int) -> float:
+    """Smallest m*2^e >= needed with mantissa m in {4,5,6,7}, as a factor
+    of n (so the jit static cap args repeat exactly). The ~1.25x ladder
+    keeps padding waste under ~25% (every op downstream of compaction runs
+    at cap width, not live width)."""
+    needed = max(needed, 1024)
+    e = max(0, int(needed).bit_length() - 3)
+    for m in (4, 5, 6, 7, 8):
+        if m << e >= needed:
+            return float(m << e) / n
+    return float(8 << e) / n
+
+
+def _render_iteration_pallas(
+    scene: SceneData, cfg: RenderConfig, iteration: int,
+    use_vc: bool, ppm: bool, backend: str,
+):
+    """Merging iteration via the Pallas dense-slab kernel.
+
+    The iteration runs as two executables (vcm.trace_iteration +
+    vcm.merge_finish_iteration). The tunneled TPU runtime has been observed
+    to fault when RE-executing a Mosaic-bearing executable once a second
+    shape variant of the kernel exists in the process (deterministically,
+    but dependent on program bytes — byte-identical-semantics variants
+    differ), so this driver holds ONE kernel shape per process: before the
+    first merge compile it measures the exact work-list demand with an
+    XLA-only dry run (the prep half of the kernel), freezes all caps with
+    margin, and never re-buckets. Iteration 0 has the largest merge radius
+    (vertexcm.hxx:294-299), so its measured demand bounds every later
+    iteration; if a cap still overflows, that iteration falls back to the
+    XLA merge over the same traced sub-paths — exact, no new kernel shape.
+    """
+    res_x, res_y = cfg.resolution
+    n = res_x * res_y
+    traced = vcm.trace_iteration(
+        scene, iteration, res_x, res_y, cfg.base_seed,
+        cfg.max_path_length, cfg.min_path_length, cfg.radius_factor,
+        cfg.radius_alpha, use_vc, ppm, cfg.rng_kind,
+    )
+
+    if not cfg.merge_caps_frozen:
+        # Dry-run measurement, growing the compaction caps on the (rare)
+        # overflow — these recompiles are XLA-only and safe.
+        while True:
+            ovf, stats = vcm.merge_measure_iteration(
+                scene, iteration, traced, res_x, res_y,
+                cfg.radius_factor, cfg.radius_alpha,
+                cfg.max_path_length, cfg.min_path_length,
+                photon_factor=cfg.photon_factor,
+                query_factor=cfg.query_factor, ppm=ppm,
+            )
+            work, n_ph, n_q = (int(v) for v in stats)
+            if int(ovf) == 0:
+                break
+            cfg.photon_factor = max(
+                cfg.photon_factor, _bucket(n_ph * 1.2, n))
+            cfg.query_factor = max(cfg.query_factor, _bucket(n_q * 1.2, n))
+        # Right-size the compaction caps; the work demand depends on the
+        # query tiling (= query cap), so re-measure at the final caps.
+        want_ph = _bucket(n_ph * 1.15, n)
+        want_q = _bucket(n_q * 1.15, n)
+        if (want_ph, want_q) != (cfg.photon_factor, cfg.query_factor):
+            cfg.photon_factor, cfg.query_factor = want_ph, want_q
+            _, stats = vcm.merge_measure_iteration(
+                scene, iteration, traced, res_x, res_y,
+                cfg.radius_factor, cfg.radius_alpha,
+                cfg.max_path_length, cfg.min_path_length,
+                photon_factor=cfg.photon_factor,
+                query_factor=cfg.query_factor, ppm=ppm,
+            )
+            work = int(stats[0])
+        cfg.pair_factor = _bucket(work * 1.25, n)
+        cfg.merge_caps_frozen = True
+
+    fb, _rays, overflow, _stats = vcm.merge_finish_iteration(
+        scene, iteration, traced, res_x, res_y,
+        cfg.radius_factor, cfg.radius_alpha,
+        cfg.max_path_length, cfg.min_path_length,
+        use_vc=use_vc, ppm=ppm,
+        pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
+        query_factor=cfg.query_factor,
+        merge_chunks=1, merge_backend=backend,
+    )
+    if int(overflow) == 0:
+        return fb
+
+    # Frozen-cap overflow (possible only through unusual Monte Carlo
+    # wiggle): redo this iteration's merge with the XLA backend over the
+    # SAME traced sub-paths, growing local caps as needed. The frozen
+    # pallas caps are left untouched — no new kernel shape.
+    print(f"[smallvcm_tpu] pallas merge cap overflow at iteration "
+          f"{iteration}; falling back to the XLA merge for it", flush=True)
+    pf, phf, qf = cfg.pair_factor, cfg.photon_factor, cfg.query_factor
+    while True:
+        chunks = max(1, -(-int(pf * n) // (8 << 20)))
+        fb, _rays, overflow, stats = vcm.merge_finish_iteration(
+            scene, iteration, traced, res_x, res_y,
+            cfg.radius_factor, cfg.radius_alpha,
+            cfg.max_path_length, cfg.min_path_length,
+            use_vc=use_vc, ppm=ppm,
+            pair_factor=pf, photon_factor=phf, query_factor=qf,
+            merge_chunks=chunks, merge_backend="xla",
+        )
+        if int(overflow) == 0:
+            return fb
+        pairs, n_ph, n_q = (int(v) for v in stats)
+        pf = max(_bucket(pairs * 1.1, n), _bucket(pf * n * 1.26, n))
+        phf = max(phf, _bucket(n_ph * 1.1, n))
+        qf = max(qf, _bucket(n_q * 1.1, n))
+
+
+def _render_iteration_xla(
+    scene: SceneData, cfg: RenderConfig, iteration: int,
+    use_vc: bool, use_vm: bool, lt_only: bool, ppm: bool, backend: str,
+):
+    """One iteration via the single-executable (XLA-merge) path, with the
+    self-sizing cap ladder."""
+    res_x, res_y = cfg.resolution
+    n = res_x * res_y
     while True:
         # Bound pair-level memory: split the merge into query chunks so the
         # per-chunk candidate-pair cap stays near 8M rows regardless of the
         # total (candidate pairs grow with photon density — quadratically in
-        # resolution at a fixed merge radius). The Pallas backend has no
-        # pair-wide arrays, so it never needs chunking.
+        # resolution at a fixed merge radius).
         chunks = 1 if backend != "xla" else max(
             1, int(-(-int(cfg.pair_factor * n) // (8 << 20))))
         fb, _rays, overflow, stats = vcm.render_iteration_with_stats(
             scene, iteration, res_x, res_y, cfg.base_seed,
             cfg.max_path_length, cfg.min_path_length,
             cfg.radius_factor, cfg.radius_alpha,
-            use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
+            use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
+            ppm=ppm,
             pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
             query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
             merge_chunks=chunks, merge_backend=backend,
@@ -139,28 +278,15 @@ def render_single_iteration(
             return fb
         pairs, n_ph, n_q = (int(v) for v in stats)
 
-        # Right-size every cap from the measured counts (they are exact even
-        # when a cap overflowed). Caps are quantized to a ~1.25x bucket
-        # ladder (mantissa 4-7 x power of two) so padding waste stays under
-        # ~25% (every op downstream of compaction runs at cap width, not
-        # live width); a 10% margin covers per-iteration Monte Carlo wiggle.
-        def bucket(needed: float) -> float:
-            """Smallest m*2^e >= needed with mantissa m in {4,5,6,7},
-            as a factor of n (so the jit static args repeat exactly)."""
-            needed = max(needed, 1024)
-            e = max(0, int(needed).bit_length() - 3)
-            for m in (4, 5, 6, 7, 8):
-                if m << e >= needed:
-                    return float(m << e) / n
-            return float(8 << e) / n
-
-        # Shrinking a cap recompiles (~30-60 s on the tunneled backend) to
-        # save a slice of per-iteration work, so it only pays when the cap
-        # is way oversized. The radius schedule shrinks pair counts like
-        # (i+1)^-0.25, so with a 2x-hysteresis shrink there are only ~log2
-        # shrink recompiles over an entire progressive run.
+        # Right-size every cap from the measured counts (they are exact
+        # even when a cap overflowed); a 10% margin covers per-iteration
+        # Monte Carlo wiggle. Shrinking a cap recompiles (~30-60 s on the
+        # tunneled backend) to save a slice of per-iteration work, so it
+        # only pays when the cap is way oversized: the radius schedule
+        # shrinks pair counts like (i+1)^-0.25, so with a 2x-hysteresis
+        # shrink there are only ~log2 shrink recompiles over a whole run.
         def want(needed: float, current: float) -> float:
-            b = bucket(needed)
+            b = _bucket(needed, n)
             if b >= current:
                 return b          # growth is always applied (exactness)
             return b if b * 2.0 <= current else current
@@ -177,7 +303,8 @@ def render_single_iteration(
         # measured need (guaranteeing progress) and re-render this iteration
         # exactly (the RNG is counter-based). A query/photon overflow can
         # hide pairs, so pair growth must also be monotonic.
-        cfg.pair_factor = max(want_pair, bucket(cfg.pair_factor * n * 1.26))
+        cfg.pair_factor = max(
+            want_pair, _bucket(cfg.pair_factor * n * 1.26, n))
         cfg.photon_factor = max(cfg.photon_factor, want_photon)
         cfg.query_factor = max(cfg.query_factor, want_query)
         print(f"[smallvcm_tpu] merge cap overflow; retrying iteration "

@@ -42,6 +42,11 @@ def full_report(args) -> None:
                 min_path_length=args.min_path_length,
                 radius_factor=args.radius_factor,
                 radius_alpha=args.radius_alpha,
+                # The report renders several merging algorithms in one
+                # process; the pallas backend holds at most one Mosaic
+                # kernel shape per process (see render.py), so pin the
+                # portable XLA merge here.
+                merge_backend="xla",
             )
             print(f"Running {ALGORITHM_NAMES[alg]}... ", end="", flush=True)
             img, elapsed, iters = render(scene, cfg)

@@ -51,6 +51,56 @@ def test_pallas_merge_matches_xla(ppm, seed):
         )
 
 
+def test_measure_matches_kernel_stats():
+    """measure_only returns the exact work demand the kernel run reports."""
+    res = 8
+    n = res * res
+    scene = load_cornell_box((res, res), SCENE_CONFIGS[1])
+    misc = vcm.compute_misc(scene, 0, n, 0.05, 0.75, True, True)
+    key = jax.random.PRNGKey(3)
+    kq, kp = jax.random.split(key)
+    span = float(misc.radius) * 20.0
+    queries = _random_vertices(kq, 4, n, 0.0, span, 9)
+    light_verts = _random_vertices(kp, 5, n, 0.0, span, 9)
+
+    none_out, ovf_m, stats_m = merge_stage_pallas(
+        scene, misc, queries, light_verts, work_cap=0, ppm=False,
+        max_path_length=7, min_path_length=0,
+        photon_cap=384, query_cap=256, n_paths=n, measure_only=True,
+    )
+    assert none_out is None
+    _, ovf_k, stats_k = merge_stage_pallas(
+        scene, misc, queries, light_verts, work_cap=8192, ppm=False,
+        max_path_length=7, min_path_length=0,
+        photon_cap=384, query_cap=256, n_paths=n, interpret=True,
+    )
+    assert int(ovf_m) == int(ovf_k) == 0
+    assert [int(v) for v in stats_m] == [int(v) for v in stats_k]
+
+
+def test_driver_split_pallas_path_matches_xla():
+    """render() through the split trace/measure/merge driver equals the
+    single-executable XLA path (interpreter-mode kernel on CPU)."""
+    from smallvcm_tpu import render as R
+
+    res = 24
+    scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
+    cfg_x = R.RenderConfig(
+        algorithm="vcm", iterations=2, resolution=(res, res),
+        merge_backend="xla",
+    )
+    img_x, _, _ = R.render(scene, cfg_x)
+    cfg_p = R.RenderConfig(
+        algorithm="vcm", iterations=2, resolution=(res, res),
+        merge_backend="pallas_interpret",
+    )
+    img_p, _, _ = R.render(scene, cfg_p)
+    assert cfg_p.merge_caps_frozen
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_x), rtol=3e-5, atol=1e-6
+    )
+
+
 def test_pallas_merge_work_overflow_reported():
     res = 8
     n = res * res
