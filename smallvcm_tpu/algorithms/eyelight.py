@@ -20,20 +20,18 @@ from ..scene.scene import SceneData
 from ..io.framebuffer import add_color, new_fb_planes
 
 
-@partial(jax.jit,
-         static_argnames=("res_x", "res_y", "base_seed", "rng_kind"))
-def render_iteration(
-    scene: SceneData, iteration, res_x: int, res_y: int,
+def render_core(
+    scene: SceneData, iteration, pix, res_x: int, res_y: int,
     base_seed: int = 1234, rng_kind: str = "threefry",
 ) -> jnp.ndarray:
-    """Render one eye-light sample pass -> accumulation image [resY,resX,3].
+    """One eye-light pass over the given (possibly sharded) global pixel
+    ids -> accumulation image [resY,resX,3] (holding only those pixels).
 
     Reference quirk preserved: iteration 1 (second pass; smallvcm.cxx:100
     starts at 0) samples pixel centers, every other iteration jitters
-    (eyelight.hxx:59-60).
+    (eyelight.hxx:59-60). RNG streams key off global pixel ids, so any
+    partition of ``arange(n)`` reproduces the single-device image.
     """
-    n = res_x * res_y
-    pix = jnp.arange(n, dtype=jnp.uint32)
     x = (pix % res_x).astype(jnp.float32)
     y = (pix // res_x).astype(jnp.float32)
 
@@ -61,3 +59,15 @@ def render_iteration(
 
     fb = add_color(new_fb_planes(res_x, res_y), sx, sy, color)
     return fb.to_array()
+
+
+@partial(jax.jit,
+         static_argnames=("res_x", "res_y", "base_seed", "rng_kind"))
+def render_iteration(
+    scene: SceneData, iteration, res_x: int, res_y: int,
+    base_seed: int = 1234, rng_kind: str = "threefry",
+) -> jnp.ndarray:
+    """Single-device eye-light pass -> accumulation image [resY,resX,3]."""
+    pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
+    return render_core(scene, iteration, pix, res_x, res_y, base_seed,
+                       rng_kind)

@@ -45,15 +45,10 @@ class _PtState(NamedTuple):
     alive: jnp.ndarray          # [N] bool
 
 
-@partial(
-    jax.jit,
-    static_argnames=("res_x", "res_y", "base_seed", "max_path_length",
-                     "rng_kind",
-                     "min_path_length"),
-)
-def render_iteration(
+def render_core(
     scene: SceneData,
     iteration,
+    pix,
     res_x: int,
     res_y: int,
     base_seed: int = 1234,
@@ -61,8 +56,12 @@ def render_iteration(
     min_path_length: int = 0,
     rng_kind: str = "threefry",
 ) -> jnp.ndarray:
-    n = res_x * res_y
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    """One PT pass over the given (possibly sharded) global pixel ids ->
+    accumulation image [resY,resX,3] holding only those pixels. RNG streams
+    key off global pixel ids, so any partition of ``arange(n)`` reproduces
+    the single-device image (strictly stronger than the reference's
+    thread-seeded scheme, smallvcm.cxx:61-72)."""
+    n = pix.shape[0]
     x = (pix % res_x).astype(jnp.float32)
     y = (pix // res_x).astype(jnp.float32)
 
@@ -235,3 +234,25 @@ def render_iteration(
 
     fb = add_color(new_fb_planes(res_x, res_y), sx, sy, state.color)
     return fb.to_array()
+
+
+@partial(
+    jax.jit,
+    static_argnames=("res_x", "res_y", "base_seed", "max_path_length",
+                     "rng_kind",
+                     "min_path_length"),
+)
+def render_iteration(
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    rng_kind: str = "threefry",
+) -> jnp.ndarray:
+    """Single-device PT pass -> accumulation image [resY,resX,3]."""
+    pix = jnp.arange(res_x * res_y, dtype=jnp.uint32)
+    return render_core(scene, iteration, pix, res_x, res_y, base_seed,
+                       max_path_length, min_path_length, rng_kind)

@@ -60,7 +60,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="counter-based generator; 'tea' is the reference's "
                         "LEGACY_RNG mixing function (its old_rng flavor)")
     p.add_argument("--devices", type=int, default=0,
-                   help="shard paths over this many devices (0 = all local)")
+                   help="shard paths over this many devices "
+                        "(0 = all local; 1 forces single-device)")
     p.add_argument("--merge-backend", default="xla",
                    choices=("auto", "pallas", "xla"),
                    help="photon-merge backend: pallas = dense-slab TPU "
@@ -89,6 +90,27 @@ def main(argv=None) -> int:
     scene = load_cornell_box(tuple(args.resolution), scene_config)
     scene_name, _ = get_scene_name(scene_config)
 
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        n_avail = len(jax.devices())
+        want = args.devices if args.devices > 0 else n_avail
+        if want > n_avail:
+            print(f"Requested --devices {want} but only {n_avail} "
+                  "available")
+            return 1
+        n_pix = args.resolution[0] * args.resolution[1]
+        if want > 1 and n_pix % want != 0:
+            print(f"Resolution {args.resolution[0]}x{args.resolution[1]} "
+                  f"({n_pix} paths) not divisible by {want} devices")
+            return 1
+        if want > 1:
+            from .parallel.sharding import make_mesh
+
+            mesh = make_mesh(want)
+            print(f"Devices: {want} (paths sharded over a 1-D mesh)")
+
     cfg = RenderConfig(
         algorithm=algorithm,
         iterations=args.iterations,
@@ -101,6 +123,7 @@ def main(argv=None) -> int:
         resolution=tuple(args.resolution),
         rng_kind=args.rng_kind,
         merge_backend=args.merge_backend,
+        mesh=mesh,
     )
 
     output = args.output_name or build_default_filename(scene_config, algorithm)

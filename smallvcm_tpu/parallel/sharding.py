@@ -60,6 +60,7 @@ def sharded_render_iteration(
     vm_exchange: str = "allgather",
     rng_kind: str = "threefry",
     merge_backend: str = "xla",
+    merge_chunks: int = 1,
 ) -> jnp.ndarray:
     """One VCM-family iteration with paths sharded over ``mesh``.
 
@@ -72,6 +73,43 @@ def sharded_render_iteration(
 
     Returns the full accumulation image, replicated.
     """
+    fb, _rays, _overflow, _stats = sharded_render_iteration_with_stats(
+        mesh, scene, iteration, res_x, res_y, base_seed, max_path_length,
+        min_path_length, radius_factor, radius_alpha, use_vc, use_vm,
+        light_trace_only, ppm, pair_factor, photon_factor, query_factor,
+        vm_exchange, rng_kind, merge_backend, merge_chunks,
+    )
+    return fb
+
+
+def sharded_render_iteration_with_stats(
+    mesh: Mesh,
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    use_vc: bool = True,
+    use_vm: bool = True,
+    light_trace_only: bool = False,
+    ppm: bool = False,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
+    vm_exchange: str = "allgather",
+    rng_kind: str = "threefry",
+    merge_backend: str = "xla",
+    merge_chunks: int = 1,
+):
+    """Like sharded_render_iteration but returns the full
+    (fb, ray_count, merge_overflow, merge_stats) tuple (psum-reduced over
+    shards) so drivers can run the same cap-sizing ladder as the
+    single-device path. Per-shard merge caps are ``factor * shard_size``,
+    so the total capacity matches the single-device configuration."""
     n = res_x * res_y
     n_dev = mesh.devices.size
     if n % n_dev != 0:
@@ -94,11 +132,60 @@ def sharded_render_iteration(
             max_path_length, min_path_length, radius_factor, radius_alpha,
             use_vc, use_vm, light_trace_only, ppm, pair_factor,
             photon_factor, query_factor, vm_exchange, rng_kind,
+            merge_chunks=merge_chunks,
             merge_backend=merge_backend, axis_name=AXIS,
         )
 
-    fb, _rays, _overflow, _pairs = run(scene, pix)
-    return fb
+    return run(scene, pix)
+
+
+def sharded_simple_iteration(
+    mesh: Mesh,
+    algorithm: str,
+    scene: SceneData,
+    iteration,
+    res_x: int,
+    res_y: int,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    rng_kind: str = "threefry",
+) -> jnp.ndarray:
+    """One eyelight / path-tracer iteration with pixels sharded over
+    ``mesh``: each shard renders its slice of global pixel ids into a
+    full-resolution framebuffer, reduced with psum. Bit-compatible with the
+    single-device image up to reduction order (counter-based RNG keys off
+    global pixel ids)."""
+    from ..algorithms import eyelight, pathtracer
+
+    n = res_x * res_y
+    n_dev = mesh.devices.size
+    if n % n_dev != 0:
+        raise ValueError(f"pixel count {n} not divisible by {n_dev} devices")
+
+    pix = jnp.arange(n, dtype=jnp.uint32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(scene_rep, pix_shard):
+        if algorithm == "el":
+            fb = eyelight.render_core(
+                scene_rep, iteration, pix_shard, res_x, res_y, base_seed,
+                rng_kind,
+            )
+        else:
+            fb = pathtracer.render_core(
+                scene_rep, iteration, pix_shard, res_x, res_y, base_seed,
+                max_path_length, min_path_length, rng_kind,
+            )
+        return jax.lax.psum(fb, AXIS)
+
+    return run(scene, pix)
 
 
 def training_step_spec(mesh: Mesh):

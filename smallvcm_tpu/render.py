@@ -108,12 +108,20 @@ def render_single_iteration(
     """
     res_x, res_y = cfg.resolution
     alg = resolve_algorithm(scene, cfg.algorithm)
-    if alg == "el":
-        return eyelight.render_iteration(
-            scene, iteration, res_x, res_y, cfg.base_seed,
-            rng_kind=cfg.rng_kind,
-        )
-    if alg == "pt":
+    if alg in ("el", "pt"):
+        if cfg.mesh is not None:
+            from .parallel.sharding import sharded_simple_iteration
+
+            return sharded_simple_iteration(
+                cfg.mesh, alg, scene, iteration, res_x, res_y,
+                cfg.base_seed, cfg.max_path_length, cfg.min_path_length,
+                cfg.rng_kind,
+            )
+        if alg == "el":
+            return eyelight.render_iteration(
+                scene, iteration, res_x, res_y, cfg.base_seed,
+                rng_kind=cfg.rng_kind,
+            )
         return pathtracer.render_iteration(
             scene, iteration, res_x, res_y, cfg.base_seed,
             cfg.max_path_length, cfg.min_path_length,
@@ -129,10 +137,15 @@ def render_single_iteration(
             if jax.default_backend() == "tpu" and cfg.mesh is None
             else "xla"
         )
-    if backend.startswith("pallas") and use_vm and cfg.mesh is None:
-        return _render_iteration_pallas(
-            scene, cfg, iteration, use_vc, ppm, backend
-        )
+    if backend.startswith("pallas") and use_vm:
+        if cfg.mesh is None:
+            return _render_iteration_pallas(
+                scene, cfg, iteration, use_vc, ppm, backend
+            )
+        # The dense-slab kernel is single-device only (one Mosaic shape per
+        # process, see _render_iteration_pallas); sharded runs use the
+        # portable XLA merge.
+        backend = "xla"
     return _render_iteration_xla(
         scene, cfg, iteration, use_vc, use_vm, lt_only, ppm, backend
     )
@@ -254,26 +267,46 @@ def _render_iteration_xla(
     use_vc: bool, use_vm: bool, lt_only: bool, ppm: bool, backend: str,
 ):
     """One iteration via the single-executable (XLA-merge) path, with the
-    self-sizing cap ladder."""
+    self-sizing cap ladder. With ``cfg.mesh`` set, paths are sharded over
+    the mesh (parallel/sharding.py) — the same ladder applies because the
+    stats come back psum-reduced."""
     res_x, res_y = cfg.resolution
     n = res_x * res_y
+    n_shard = n if cfg.mesh is None else n // cfg.mesh.devices.size
     while True:
         # Bound pair-level memory: split the merge into query chunks so the
         # per-chunk candidate-pair cap stays near 8M rows regardless of the
         # total (candidate pairs grow with photon density — quadratically in
-        # resolution at a fixed merge radius).
+        # resolution at a fixed merge radius). Merge caps are per shard.
         chunks = 1 if backend != "xla" else max(
-            1, int(-(-int(cfg.pair_factor * n) // (8 << 20))))
-        fb, _rays, overflow, stats = vcm.render_iteration_with_stats(
-            scene, iteration, res_x, res_y, cfg.base_seed,
-            cfg.max_path_length, cfg.min_path_length,
-            cfg.radius_factor, cfg.radius_alpha,
-            use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
-            ppm=ppm,
-            pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
-            query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
-            merge_chunks=chunks, merge_backend=backend,
-        )
+            1, int(-(-int(cfg.pair_factor * n_shard) // (8 << 20))))
+        if cfg.mesh is not None:
+            from .parallel.sharding import (
+                sharded_render_iteration_with_stats,
+            )
+
+            fb, _rays, overflow, stats = sharded_render_iteration_with_stats(
+                cfg.mesh, scene, iteration, res_x, res_y, cfg.base_seed,
+                cfg.max_path_length, cfg.min_path_length,
+                cfg.radius_factor, cfg.radius_alpha,
+                use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
+                ppm=ppm,
+                pair_factor=cfg.pair_factor,
+                photon_factor=cfg.photon_factor,
+                query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
+                merge_chunks=chunks, merge_backend=backend,
+            )
+        else:
+            fb, _rays, overflow, stats = vcm.render_iteration_with_stats(
+                scene, iteration, res_x, res_y, cfg.base_seed,
+                cfg.max_path_length, cfg.min_path_length,
+                cfg.radius_factor, cfg.radius_alpha,
+                use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
+                ppm=ppm,
+                pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
+                query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
+                merge_chunks=chunks, merge_backend=backend,
+            )
         if not use_vm:
             return fb
         pairs, n_ph, n_q = (int(v) for v in stats)

@@ -109,6 +109,41 @@ def test_gradient_through_sharded_render(scene):
         )
 
 
+@needs_8_devices
+class TestMeshDriver:
+    """The --devices CLI path: RenderConfig.mesh routes every algorithm
+    through the sharded implementations and must reproduce the
+    single-device images."""
+
+    @pytest.mark.parametrize("alg", ["el", "pt", "bpt", "vcm"])
+    def test_mesh_config_matches_single_device(self, scene, alg):
+        from smallvcm_tpu.render import RenderConfig, render_single_iteration
+
+        base = dict(
+            algorithm=alg, resolution=(RES, RES), max_path_length=4,
+        )
+        img1 = np.asarray(
+            render_single_iteration(scene, RenderConfig(**base), 0)
+        )
+        img8 = np.asarray(
+            render_single_iteration(
+                scene, RenderConfig(**base, mesh=make_mesh(8)), 0
+            )
+        )
+        np.testing.assert_allclose(img8, img1, atol=1e-4, rtol=1e-4)
+
+    def test_cli_devices_flag(self, tmp_path, monkeypatch):
+        from smallvcm_tpu.cli import main
+
+        monkeypatch.chdir(tmp_path)
+        rc = main([
+            "-s", "1", "-a", "pt", "-i", "2", "--resolution", "32", "32",
+            "--devices", "8", "-o", "mesh_pt.bmp",
+        ])
+        assert rc == 0
+        assert (tmp_path / "mesh_pt.bmp").exists()
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")
