@@ -22,19 +22,41 @@ REFERENCE_VCM_SCENE0_SECONDS = 1.6  # BASELINE.md, measured in this container
 def main():
     from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
     from smallvcm_tpu.algorithms import vcm
+    from smallvcm_tpu.render import _bucket
 
     res = 512
+    n = res * res
     scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
-
-    run = lambda it: vcm.render_iteration_with_stats(
-        scene, it, res, res, pair_factor=32
-    )
 
     import jax.numpy as jnp
 
+    # Size the merge caps from a measured dry run (the same right-sizing the
+    # render driver's cap ladder performs): every op downstream of the merge
+    # compaction runs at CAP width, not live width, so oversized caps cost
+    # real per-iteration time (~100 ms at 2x).
+    # Stats (candidate pairs / live photons / live queries) are measured
+    # exactly even when a cap overflows, so one undersized probe suffices.
+    # Probe at iteration 1: iteration 0's merge radius is the largest
+    # (vertexcm.hxx:294-299) and transient — its pair count is ~1.7x the
+    # steady state, and the render driver right-sizes the caps down after
+    # it anyway (render.py cap ladder), so steady-state iterations are
+    # what this measures.
+    fb, rays, overflow, stats = vcm.render_iteration_with_stats(
+        scene, 1, res, res, pair_factor=24
+    )
+    pairs, n_ph, n_q = (int(v) for v in stats)
+    caps = dict(
+        pair_factor=_bucket(pairs * 1.1, n),
+        photon_factor=_bucket(n_ph * 1.1, n),
+        query_factor=_bucket(n_q * 1.1, n),
+    )
+
+    run = lambda it: vcm.render_iteration_with_stats(scene, it, res, res,
+                                                     **caps)
+
     # Warmup / compile (block via a tiny transfer: block_until_ready is not
     # reliable through this container's tunneled backend).
-    fb, rays, overflow, _stats = run(0)
+    fb, rays, overflow, _stats = run(1)
     float(jnp.sum(fb))
     assert int(overflow) == 0, "merge pair cap overflow; raise pair_factor"
 

@@ -8,7 +8,8 @@ Replicates merge_stage's four phases as separate jits (each timing includes
   P4 survivor sort + payload gathers + BSDF/MIS + scatter-add
 """
 
-import time
+import sys, time
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp

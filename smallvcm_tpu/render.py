@@ -318,11 +318,17 @@ def _render_iteration_xla(
         # only pays when the cap is way oversized: the radius schedule
         # shrinks pair counts like (i+1)^-0.25, so with a 2x-hysteresis
         # shrink there are only ~log2 shrink recompiles over a whole run.
+        # Exception: after iterations 0 and 1 shrink on any bucket drop —
+        # the 0->1 radius step is the big one (pairs drop ~1.7x, measured;
+        # iteration 1's stats first reflect it) and every merge gather
+        # downstream of compaction runs at CAP width, so the early
+        # recompile pays for itself within a few iterations.
         def want(needed: float, current: float) -> float:
             b = _bucket(needed, n)
             if b >= current:
                 return b          # growth is always applied (exactness)
-            return b if b * 2.0 <= current else current
+            hysteresis = 1.0 if iteration <= 1 else 2.0
+            return b if b * hysteresis <= current else current
 
         want_pair = want(pairs * 1.1, cfg.pair_factor)
         want_photon = want(n_ph * 1.1, cfg.photon_factor)
