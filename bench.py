@@ -41,10 +41,24 @@ def main():
     # steady state, and the render driver right-sizes the caps down after
     # it anyway (render.py cap ladder), so steady-state iterations are
     # what this measures.
-    fb, rays, overflow, stats = vcm.render_iteration_with_stats(
-        scene, 1, res, res, pair_factor=24
-    )
-    pairs, n_ph, n_q = (int(v) for v in stats)
+    # Pair counts are exact only when the photon/query caps did not
+    # themselves overflow (a truncated photon set builds a smaller cell
+    # table), so re-probe with grown caps until the probe is overflow-free
+    # — the same ladder the render driver runs.
+    probe = dict(pair_factor=24.0, photon_factor=3.0, query_factor=3.0)
+    while True:
+        fb, rays, overflow, stats = vcm.render_iteration_with_stats(
+            scene, 1, res, res, **probe
+        )
+        pairs, n_ph, n_q = (int(v) for v in stats)
+        grown = dict(
+            pair_factor=max(probe["pair_factor"], _bucket(pairs * 1.1, n)),
+            photon_factor=max(probe["photon_factor"], _bucket(n_ph * 1.1, n)),
+            query_factor=max(probe["query_factor"], _bucket(n_q * 1.1, n)),
+        )
+        if int(overflow) == 0:
+            break
+        probe = grown
     caps = dict(
         pair_factor=_bucket(pairs * 1.1, n),
         photon_factor=_bucket(n_ph * 1.1, n),

@@ -8,8 +8,8 @@ Replicates merge_stage's four phases as separate jits (each timing includes
   P4 survivor sort + payload gathers + BSDF/MIS + scatter-add
 """
 
-import sys, time
-sys.path.insert(0, ".")
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

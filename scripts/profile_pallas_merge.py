@@ -5,10 +5,10 @@ single tiny transfer — the tunneled backend's block_until_ready returns
 early, so timing must include a fetch.
 """
 
-import sys
+import os, sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -5,10 +5,10 @@ Times are wall-clock around a host fetch of a tiny reduction of the result
 execution finishes, so sums are pulled to host each rep).
 """
 
-import sys
+import os, sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ def main():
                     help="force the virtual CPU mesh")
     args = ap.parse_args()
 
-    if args.cpu or True:  # single-TPU container: CPU mesh is the only option
+    if args.cpu:
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
         )
@@ -38,6 +38,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
+
+        if len(jax.devices()) < max(args.devices):
+            print(f"only {len(jax.devices())} real device(s); pass --cpu "
+                  "for the virtual mesh or run on a pod slice")
 
     import jax.numpy as jnp
 

@@ -710,10 +710,19 @@ def merge_stage(
     q_path_c = (idx_q % n).astype(jnp.int32)            # owning path/pixel
 
     qx, qy, qz = sg(qf_c[:, 0]), sg(qf_c[:, 1]), sg(qf_c[:, 2])
+    # Query-side bbox rejection (hashgrid.hxx:116-122) PADDED by the merge
+    # radius: camera hit points on a photon-bearing plane can land a few
+    # f32 ULPs outside the tight photon bbox (the floor plane loses ~2% of
+    # in-radius pairs at 256^2, measured), and the 2x2x2 probe is
+    # geometrically valid for any query within r of a photon. The reference
+    # only survives this because its identically-computed camera/photon hit
+    # points happen to overlap in f32.
+    pad = sg(misc.radius)
     in_bbox = (
-        (qx >= mnx) & (qx <= mxx) & (qy >= mny) & (qy <= mxy)
-        & (qz >= mnz) & (qz <= mxz)
-    )  # hashgrid.hxx:116-122
+        (qx >= mnx - pad) & (qx <= mxx + pad)
+        & (qy >= mny - pad) & (qy <= mxy + pad)
+        & (qz >= mnz - pad) & (qz <= mxz + pad)
+    )
     bx, by, bz = cell_of(qx, qy, qz)
     # Nearest 2x2x2 neighborhood by fractional part (hashgrid.hxx:124-138).
     frac = lambda a, mn: (a - mn) * inv_cell
@@ -900,9 +909,12 @@ def merge_stage(
         pz_out.at[pdst].add(acc.z, mode="drop"),
     )
     overflow = ovf_p + ovf_q + ovf_pe
-    # stats = [candidate pairs, live photons, live queries] — measured
-    # exactly even when a cap overflows, so the driver can right-size each
-    # cap in one retry.
+    # stats = [candidate pairs, live photons, live queries]. n_p/n_q (from
+    # compact_indices) are exact unconditionally; the candidate-pair count
+    # is exact only when the photon and query caps did NOT overflow (a
+    # truncated photon set builds a smaller cell table, hiding pairs) —
+    # drivers must re-probe after growing those caps (see render.py's
+    # ladder and bench.py's probe loop).
     stats = jnp.stack([total_pairs, n_p, n_q])
     return color_add, overflow, stats
 

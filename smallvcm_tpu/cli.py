@@ -38,8 +38,12 @@ def make_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("-s", type=int, default=0, dest="scene_id",
                    help=f"scene id (default 0): {scene_lines}")
+    alg_lines = "; ".join(
+        f"{a}={ALGORITHM_NAMES[a]}" for a in ALGORITHMS
+    )  # acronym + full name, as PrintHelp does (config.hxx:196-210)
     p.add_argument("-a", type=str, default=None, dest="algorithm",
-                   choices=ALGORITHMS, help="algorithm (default vcm)")
+                   choices=ALGORITHMS,
+                   help=f"algorithm (default vcm): {alg_lines}")
     p.add_argument("-t", type=float, default=-1.0, dest="max_time",
                    help="seconds to run (takes precedence over -i)")
     p.add_argument("-i", type=int, default=1, dest="iterations",

@@ -123,14 +123,23 @@ class HtmlWriter:
         self, files: List[str], names: List[str], borders: List[int],
         size: int,
     ):
-        """Mouse-driven 4-way split (tl/tr/bl/br = files[0..3])."""
+        """Mouse-driven 4-way split (tl/tr/bl/br = files[0..3]).
+
+        Captions carry the per-algorithm good/poor color, mirroring the
+        reference's colored borders on the split images
+        (html_writer.hxx:330-356)."""
         quads = []
         for f, n in zip(files, names):
             quads.append(
                 f'<div class="quad"><img class="layer" src="{f}" '
                 f'width="{size}" height="{size}"/></div>'
             )
-        caps = "".join(f'<div class="cap">{n}</div>' for n in names)
+        cap_color = {GREEN: "#0c0", RED: "#f00"}
+        caps = "".join(
+            f'<div class="cap" style="border:2px solid '
+            f'{cap_color.get(b, "#ccc")}">{n}</div>'
+            for n, b in zip(names, borders)
+        )
         self.parts.append(
             "</tr></table>\n"
             f'<div class="cross-compare" '

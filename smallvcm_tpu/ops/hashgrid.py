@@ -143,10 +143,15 @@ def query_cell_ranges(grid: HashGrid, num_cells: int, qpos, packed=None):
     Pass ``packed_ranges(grid)`` to fetch both values with one gather per
     cell.
     """
+    # Bbox rejection padded by the search radius (= half cell size): a
+    # query within r of a particle can sit ULPs outside the tight particle
+    # bbox (same-plane f32 hit points), and the 2x2x2 probe covers any
+    # query within r regardless (see merge_stage's note in vcm.py).
+    pad = 0.5 / grid.inv_cell_size
     in_bbox = (
-        (qpos.x >= grid.bbox_min_x) & (qpos.x <= grid.bbox_max_x)
-        & (qpos.y >= grid.bbox_min_y) & (qpos.y <= grid.bbox_max_y)
-        & (qpos.z >= grid.bbox_min_z) & (qpos.z <= grid.bbox_max_z)
+        (qpos.x >= grid.bbox_min_x - pad) & (qpos.x <= grid.bbox_max_x + pad)
+        & (qpos.y >= grid.bbox_min_y - pad) & (qpos.y <= grid.bbox_max_y + pad)
+        & (qpos.z >= grid.bbox_min_z - pad) & (qpos.z <= grid.bbox_max_z + pad)
     )
     rel = lambda a, mn: (a - mn) * grid.inv_cell_size
     rx, ry, rz = (

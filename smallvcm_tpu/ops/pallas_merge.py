@@ -299,11 +299,17 @@ def merge_stage_pallas(
     qlive = jnp.arange(query_cap, dtype=jnp.int32) < n_q
 
     qx, qy, qz = qrows[:, 0], qrows[:, 1], qrows[:, 2]
+    # Bbox rejection (hashgrid.hxx:116-122) padded by the merge radius:
+    # same-plane camera hits can sit f32-ULPs outside the tight photon
+    # bbox and would silently lose ~2% of in-radius pairs (see the note in
+    # vcm.py::merge_stage). The clamped cell coords + +/-1 row probe cover
+    # padded queries geometrically, so this stays exact.
+    pad = sg(misc.radius)
     in_bbox = (
-        (qx >= mins[0]) & (qx <= maxs[0])
-        & (qy >= mins[1]) & (qy <= maxs[1])
-        & (qz >= mins[2]) & (qz <= maxs[2])
-    )  # hashgrid.hxx:116-122
+        (qx >= mins[0] - pad) & (qx <= maxs[0] + pad)
+        & (qy >= mins[1] - pad) & (qy <= maxs[1] + pad)
+        & (qz >= mins[2] - pad) & (qz <= maxs[2] + pad)
+    )
     (qcx, qcy, qcz), (_, qsy, qsz) = _cells_of(
         qx, qy, qz, mins, inv_cell, qlive
     )

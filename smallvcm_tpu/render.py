@@ -311,23 +311,24 @@ def _render_iteration_xla(
             return fb
         pairs, n_ph, n_q = (int(v) for v in stats)
 
-        # Right-size every cap from the measured counts (they are exact
-        # even when a cap overflowed); a 10% margin covers per-iteration
-        # Monte Carlo wiggle. Shrinking a cap recompiles (~30-60 s on the
-        # tunneled backend) to save a slice of per-iteration work, so it
-        # only pays when the cap is way oversized: the radius schedule
-        # shrinks pair counts like (i+1)^-0.25, so with a 2x-hysteresis
-        # shrink there are only ~log2 shrink recompiles over a whole run.
-        # Exception: after iterations 0 and 1 shrink on any bucket drop —
-        # the 0->1 radius step is the big one (pairs drop ~1.7x, measured;
-        # iteration 1's stats first reflect it) and every merge gather
-        # downstream of compaction runs at CAP width, so the early
-        # recompile pays for itself within a few iterations.
+        # Right-size every cap from the measured counts (pair counts are
+        # exact unless the photon/query caps overflowed, in which case the
+        # ladder below grows monotonically anyway); a 10% margin covers
+        # per-iteration Monte Carlo wiggle. Shrinking a cap recompiles
+        # (~30-60 s on the tunneled backend) to save ~100 ms/iteration, so
+        # it amortizes only over long runs: the radius schedule shrinks
+        # pair counts like (i+1)^-0.25, so with a 2x-hysteresis shrink
+        # there are only ~log2 shrink recompiles over a whole run.
+        # Exception: shrink on any bucket drop after iterations 0 and 1
+        # (the 0->1 radius step drops pairs ~1.7x, measured) — but only
+        # when the run is long enough for the ~30-60 s recompile to pay
+        # back at ~100 ms/iteration (several hundred iterations).
+        long_run = cfg.iterations >= 300 or cfg.max_time >= 120
         def want(needed: float, current: float) -> float:
             b = _bucket(needed, n)
             if b >= current:
                 return b          # growth is always applied (exactness)
-            hysteresis = 1.0 if iteration <= 1 else 2.0
+            hysteresis = 1.0 if (iteration <= 1 and long_run) else 2.0
             return b if b * hysteresis <= current else current
 
         want_pair = want(pairs * 1.1, cfg.pair_factor)
