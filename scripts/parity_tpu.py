@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="PARITY.md")
     ap.add_argument("--scenes", type=int, nargs="*", default=[0, 1, 2, 3])
+    ap.add_argument("--algs", type=str, nargs="*", default=None,
+                    help="subset of algorithms (default: all 7)")
     args = ap.parse_args()
 
     ensure_reference()
@@ -58,8 +60,8 @@ def main():
     for scene_id in args.scenes:
         scene = load_cornell_box((512, 512), SCENE_CONFIGS[scene_id])
         name, _ = get_scene_name(SCENE_CONFIGS[scene_id])
-        for alg in ALGORITHMS:
-            ref_file = WORK / f"ref_s{scene_id}_{alg}.hdr"
+        for alg in (args.algs or ALGORITHMS):
+            ref_file = WORK / f"ref_s{scene_id}_{alg}_i{args.iters}.hdr"
             if not ref_file.exists():
                 subprocess.run(
                     [str(REF_BIN), "-s", str(scene_id), "-a", alg,
@@ -77,15 +79,23 @@ def main():
 
             bm, br = block_mean(mine), block_mean(ref)
             rel = np.abs(bm - br) / (br + 1e-3)
+            # z-score of the image-mean difference: the two renders are
+            # independent, so Var(mean diff) ~= Var(block-mean diff)/nblocks
+            # (blocks are close to independent at 32x32 with N iterations).
+            bd = (bm - br).mean(axis=2).reshape(-1)
+            sigma = float(bd.std(ddof=1) / np.sqrt(bd.size))
+            z = float(bd.mean() / sigma) if sigma > 0 else 0.0
             rows.append(dict(
                 scene=scene_id, scene_name=name, alg=alg,
                 mean_mine=float(mine.mean()), mean_ref=float(ref.mean()),
                 rel_median=float(np.median(rel)),
                 rel_p95=float(np.percentile(rel, 95)),
+                z=z,
                 seconds=wall,
             ))
             print(f"s{scene_id} {alg}: med={rows[-1]['rel_median']:.4f} "
-                  f"p95={rows[-1]['rel_p95']:.4f} t={wall:.1f}s", flush=True)
+                  f"p95={rows[-1]['rel_p95']:.4f} z={z:+.2f} "
+                  f"t={wall:.1f}s", flush=True)
 
     with open(args.out, "w") as f:
         f.write("# PARITY — TPU renderer vs reference binary\n\n")
@@ -95,14 +105,14 @@ def main():
                 "is statistical: block-mean MC noise at this sample count "
                 "is a few percent.\n\n")
         f.write("| scene | algorithm | mean (ours) | mean (ref) | "
-                "rel err median | rel err p95 | wall s (ours) |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+                "rel err median | rel err p95 | mean z | wall s (ours) |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
                 f"| {r['scene']} ({r['scene_name']}) | {r['alg']} | "
                 f"{r['mean_mine']:.5f} | {r['mean_ref']:.5f} | "
                 f"{r['rel_median']:.4f} | {r['rel_p95']:.4f} | "
-                f"{r['seconds']:.1f} |\n"
+                f"{r['z']:+.2f} | {r['seconds']:.1f} |\n"
             )
     print(f"wrote {args.out}")
 

@@ -177,7 +177,12 @@ def load_hdr(filename: str) -> np.ndarray:
         data, np.uint8, count=res_y * res_x * 4, offset=eol + 1
     ).reshape(res_y, res_x, 4).astype(np.float32)
     exp = np.ldexp(1.0, rgbe[..., 3].astype(np.int32) - 136)  # 2^(e-128)/256
-    img = rgbe[..., :3] * exp[..., None]
+    # Canonical Radiance reconstruction (r + 0.5) * 2^(e-136): the encoder
+    # truncates mantissas (framebuffer.hxx:219-251), so the half-quantum
+    # offset makes decode the unbiased inverse. Without it every decoded
+    # image reads ~0.2-0.5% darker than the renderer produced — enough to
+    # fake a systematic cross-renderer energy difference in parity runs.
+    img = (rgbe[..., :3] + 0.5) * exp[..., None]
     img[rgbe[..., 3] == 0] = 0.0
     return img
 

@@ -39,6 +39,23 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
+def _global_pix(mesh: Mesh, n: int):
+    """Global path-id array [n] sharded over the mesh's ``paths`` axis.
+
+    Built shard-by-shard with make_array_from_callback so it is valid on a
+    multi-process (multi-controller) global mesh, where a host-local
+    jnp.arange cannot be resharded implicitly. Single-process meshes get
+    the identical array.
+    """
+    import numpy as np
+
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.make_array_from_callback(
+        (n,), sharding,
+        lambda idx: np.arange(n, dtype=np.uint32)[idx],
+    )
+
+
 def sharded_render_iteration(
     mesh: Mesh,
     scene: SceneData,
@@ -115,7 +132,7 @@ def sharded_render_iteration_with_stats(
     if n % n_dev != 0:
         raise ValueError(f"path count {n} not divisible by {n_dev} devices")
 
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    pix = _global_pix(mesh, n)
 
     @partial(
         jax.shard_map,
@@ -163,7 +180,7 @@ def sharded_simple_iteration(
     if n % n_dev != 0:
         raise ValueError(f"pixel count {n} not divisible by {n_dev} devices")
 
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    pix = _global_pix(mesh, n)
 
     @partial(
         jax.shard_map,
