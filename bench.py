@@ -1,8 +1,14 @@
-"""Benchmark: VCM, scene 0, 512x512 — rays/sec/chip vs the reference CPU.
+"""Benchmark: rays/sec/chip vs the reference CPU (+ full-suite mode).
 
-Prints one JSON line:
+Default: times VCM on scene 0 at 512x512 and prints ONE JSON line:
   {"metric": "rays/sec/chip (VCM, scene 0, 512x512)", "value": N,
    "unit": "rays/s", "vs_baseline": N}
+
+``--full`` also times all 7 algorithms (steady-state ms/iteration with the
+compile/iteration-0 cost reported separately), prints an analytic
+flops/bytes roofline estimate for the hot stages, and appends one record
+per run to BENCH_HISTORY.jsonl — the perf-regression trail. All extra
+output goes to stderr; stdout stays exactly one JSON line for the driver.
 
 Ray count = path segments + shadow/occlusion rays actually enabled (the same
 work the reference performs per iteration; lanes masked off are not counted,
@@ -11,40 +17,35 @@ identical ray count by the reference's measured per-iteration time on this
 container's CPU (BASELINE.md: vcm scene 0, 1 iter = 1.6 s core-seconds).
 """
 
+import argparse
 import json
+import sys
 import time
 
 import jax
 
 REFERENCE_VCM_SCENE0_SECONDS = 1.6  # BASELINE.md, measured in this container
 
+# Reference CPU seconds/iteration on this container (BASELINE.md table),
+# scene 0, 512x512, for the per-algorithm vs_baseline columns.
+REFERENCE_SECONDS = {
+    "el": 0.07, "pt": 0.60, "lt": 0.32, "ppm": 0.52, "bpm": 1.17,
+    "bpt": 1.11, "vcm": 1.60,
+}
 
-def main():
-    from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
-    from smallvcm_tpu.algorithms import vcm
-    from smallvcm_tpu.render import _bucket
+# v5e peaks for the roofline denominators: VPU f32 ~= (8,128) vector unit
+# x 4 ALUs x ~1 GHz ~= 4 TFLOP/s (the renderer is VPU-bound — no matmuls,
+# so the 197-TFLOP bf16 MXU is idle); HBM ~819 GB/s (public spec).
+PEAK_F32_TFLOPS = 4.0
+PEAK_HBM_GBS = 819.0
 
-    res = 512
-    n = res * res
-    scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
 
-    import jax.numpy as jnp
+def _eprint(*a):
+    print(*a, file=sys.stderr, flush=True)
 
-    # Size the merge caps from a measured dry run (the same right-sizing the
-    # render driver's cap ladder performs): every op downstream of the merge
-    # compaction runs at CAP width, not live width, so oversized caps cost
-    # real per-iteration time (~100 ms at 2x).
-    # Stats (candidate pairs / live photons / live queries) are measured
-    # exactly even when a cap overflows, so one undersized probe suffices.
-    # Probe at iteration 1: iteration 0's merge radius is the largest
-    # (vertexcm.hxx:294-299) and transient — its pair count is ~1.7x the
-    # steady state, and the render driver right-sizes the caps down after
-    # it anyway (render.py cap ladder), so steady-state iterations are
-    # what this measures.
-    # Pair counts are exact only when the photon/query caps did not
-    # themselves overflow (a truncated photon set builds a smaller cell
-    # table), so re-probe with grown caps until the probe is overflow-free
-    # — the same ladder the render driver runs.
+
+def _sized_caps(vcm, scene, res, n, _bucket):
+    """Measured, overflow-free merge caps (same ladder as render.py)."""
     probe = dict(pair_factor=24.0, photon_factor=3.0, query_factor=3.0)
     while True:
         fb, rays, overflow, stats = vcm.render_iteration_with_stats(
@@ -53,44 +54,147 @@ def main():
         pairs, n_ph, n_q = (int(v) for v in stats)
         grown = dict(
             pair_factor=max(probe["pair_factor"], _bucket(pairs * 1.1, n)),
-            photon_factor=max(probe["photon_factor"], _bucket(n_ph * 1.1, n)),
+            photon_factor=max(probe["photon_factor"],
+                              _bucket(n_ph * 1.1, n)),
             query_factor=max(probe["query_factor"], _bucket(n_q * 1.1, n)),
         )
         if int(overflow) == 0:
             break
         probe = grown
-    caps = dict(
+    return dict(
         pair_factor=_bucket(pairs * 1.1, n),
         photon_factor=_bucket(n_ph * 1.1, n),
         query_factor=_bucket(n_q * 1.1, n),
-    )
+    ), pairs
 
+
+def bench_vcm(scene, res, n, iters=5):
+    import jax.numpy as jnp
+
+    from smallvcm_tpu.algorithms import vcm
+    from smallvcm_tpu.render import _bucket
+
+    caps, pairs = _sized_caps(vcm, scene, res, n, _bucket)
     run = lambda it: vcm.render_iteration_with_stats(scene, it, res, res,
                                                      **caps)
-
-    # Warmup / compile (block via a tiny transfer: block_until_ready is not
-    # reliable through this container's tunneled backend).
-    fb, rays, overflow, _stats = run(1)
+    fb, rays, overflow, _ = run(1)
     float(jnp.sum(fb))
-    assert int(overflow) == 0, "merge pair cap overflow; raise pair_factor"
+    assert int(overflow) == 0, "merge pair cap overflow after probe"
 
-    iters = 5
     t0 = time.time()
     for it in range(1, iters + 1):
-        fb, rays, overflow, _stats = run(it)
+        fb, rays, overflow, _ = run(it)
         float(jnp.sum(fb))
-    elapsed = time.time() - t0
-    total_rays = int(rays) * iters  # per-iteration count is ~constant
+    dt = (time.time() - t0) / iters
+    return dt, int(rays), pairs
 
-    rays_per_sec = total_rays / elapsed
-    baseline_rays_per_sec = int(rays) / REFERENCE_VCM_SCENE0_SECONDS
+
+def bench_algorithm(alg, scene, res, n, iters=3):
+    """Steady-state seconds/iteration + iteration-0 (compile-inclusive)
+    seconds for one algorithm through the production driver."""
+    import jax.numpy as jnp
+
+    from smallvcm_tpu.render import RenderConfig, render_single_iteration
+
+    cfg = RenderConfig(algorithm=alg, resolution=(res, res),
+                       merge_backend="xla")
+    t0 = time.time()
+    float(jnp.sum(render_single_iteration(scene, cfg, 0)))
+    cold = time.time() - t0
+    # One more settling iteration (cap ladder may shrink caps at iter 1).
+    float(jnp.sum(render_single_iteration(scene, cfg, 1)))
+    t0 = time.time()
+    for it in range(2, 2 + iters):
+        float(jnp.sum(render_single_iteration(scene, cfg, it)))
+    steady = (time.time() - t0) / iters
+    return steady, cold
+
+
+def roofline(res, n, rays_per_iter, pairs, dt_vcm):
+    """Analytic flops/bytes for the hot stages of one VCM iteration."""
+    from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
+
+    # Scene 0 primitive count: ~30 triangles + 2 spheres (dense sweep).
+    prims = 32
+    # Trace: every ray tests every primitive; ~55 flops per ray-prim test.
+    trace_flops = rays_per_iter * prims * 55
+    trace_bytes = rays_per_iter * 64 * 2  # ray in + hit out, ~wide rows
+    # Merge: per candidate pair ~2 row gathers (64B) + ~40 flops prefilter;
+    # survivors (~pairs/10) run the ~200-flop BSDF/MIS evaluate.
+    merge_flops = pairs * 40 + (pairs // 10) * 200
+    merge_bytes = pairs * 2 * 64
+    lines = []
+    for name, fl, by in (("trace", trace_flops, trace_bytes),
+                         ("merge", merge_flops, merge_bytes)):
+        t_flops = fl / (PEAK_F32_TFLOPS * 1e12)
+        t_bytes = by / (PEAK_HBM_GBS * 1e9)
+        bound = "hbm" if t_bytes > t_flops else "vpu"
+        lines.append(
+            f"  {name}: {fl/1e9:.2f} GFLOP, {by/1e9:.2f} GB -> "
+            f"speed-of-light {max(t_flops, t_bytes)*1e3:.1f} ms ({bound}-"
+            f"bound)"
+        )
+    lines.append(
+        f"  measured VCM iteration: {dt_vcm*1e3:.0f} ms "
+        f"(~{(sum((rays_per_iter * prims * 55, pairs * 40)) / dt_vcm) / (PEAK_F32_TFLOPS * 1e12) * 100:.1f}% "
+        "of VPU f32 peak on the modeled flops)"
+    )
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also bench all 7 algorithms + roofline + history")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
+
+    res = 512
+    n = res * res
+    scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
+
+    record = {"ts": time.time(), "backend": jax.default_backend(),
+              "res": res, "algorithms": {}}
+
+    if args.full:
+        from smallvcm_tpu.render import ALGORITHMS
+
+        for alg in ALGORITHMS:
+            steady, cold = bench_algorithm(alg, scene, res, n)
+            ref = REFERENCE_SECONDS[alg]
+            record["algorithms"][alg] = {
+                "steady_ms": round(steady * 1e3, 1),
+                "iter0_s": round(cold, 1),
+                "vs_ref_cpu": round(ref / steady, 2),
+            }
+            _eprint(f"{alg}: {steady*1e3:.0f} ms/iter steady "
+                    f"(iter0 {cold:.1f} s incl. compile) — "
+                    f"{ref/steady:.1f}x reference CPU")
+
+    dt, rays, pairs = bench_vcm(scene, res, n, iters=args.iters)
+    rays_per_sec = rays / dt
+    baseline = rays / REFERENCE_VCM_SCENE0_SECONDS
+    record["vcm_rays_per_sec"] = round(rays_per_sec)
+    record["vcm_ms_per_iter"] = round(dt * 1e3, 1)
+
+    if args.full:
+        _eprint("roofline (modeled):")
+        _eprint(roofline(res, n, rays, pairs, dt))
+        try:
+            with open("BENCH_HISTORY.jsonl", "a") as f:
+                f.write(json.dumps(record) + "\n")
+        except OSError:
+            pass
+
     print(
         json.dumps(
             {
                 "metric": "rays/sec/chip (VCM, scene 0, 512x512)",
                 "value": round(rays_per_sec),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / baseline_rays_per_sec, 2),
+                "vs_baseline": round(rays_per_sec / baseline, 2),
             }
         )
     )

@@ -46,10 +46,14 @@ def render_resumable(scene, cfg, checkpoint_path: str | None = None,
 
     Returns (mean image, seconds, iterations). If checkpoint_path exists,
     resumes from it; iterations continue at the saved index so the result
-    equals an uninterrupted run.
+    equals an uninterrupted run. With ``cfg.max_time > 0`` the time budget
+    takes precedence over ``cfg.iterations`` (smallvcm.cxx semantics) and
+    applies to THIS invocation (a supervisor resuming a crashed run passes
+    the remaining budget).
     """
     import time
 
+    from .io.framebuffer import total_luminance
     from .render import render_single_iteration
 
     res_x, res_y = cfg.resolution
@@ -62,7 +66,10 @@ def render_resumable(scene, cfg, checkpoint_path: str | None = None,
 
     t0 = time.time()
     it = start_iter
-    for it in range(start_iter, cfg.iterations):
+    done = start_iter
+
+    def step(it, accum):
+        ts = time.time()
         accum = accum + render_single_iteration(scene, cfg, it)
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             accum.block_until_ready()
@@ -70,9 +77,23 @@ def render_resumable(scene, cfg, checkpoint_path: str | None = None,
                 checkpoint_path, accum, it + 1, cfg.base_seed,
                 dict(algorithm=cfg.algorithm),
             )
+        if verbose:
+            lum = float(total_luminance(accum)) / (it + 1)
+            print(f"  iter {it}: luminance={lum:.1f} "
+                  f"dt={time.time() - ts:.3f}s", flush=True)
+        return accum
+
+    if cfg.max_time > 0:
+        while time.time() - t0 < cfg.max_time:
+            accum = step(done, accum)
+            accum.block_until_ready()
+            done += 1
+    else:
+        for it in range(start_iter, cfg.iterations):
+            accum = step(it, accum)
+            done = it + 1
     accum.block_until_ready()
     elapsed = time.time() - t0
 
-    done = cfg.iterations
     img = accum / max(done, 1)
     return img, elapsed, done

@@ -66,17 +66,30 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=0,
                    help="shard paths over this many devices "
                         "(0 = all local; 1 forces single-device)")
-    p.add_argument("--merge-backend", default="xla",
+    p.add_argument("--merge-backend", default="auto",
                    choices=("auto", "pallas", "xla"),
                    help="photon-merge backend: pallas = dense-slab TPU "
                         "kernel, xla = portable pair expansion, auto = "
-                        "pallas on a single TPU device")
+                        "pallas on a single TPU device at >=512x512")
+    p.add_argument("--isolate", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="supervise the render in a child process that "
+                        "auto-respawns from a per-iteration checkpoint if "
+                        "the TPU runtime faults (default: on whenever the "
+                        "Pallas merge may run)")
+    p.add_argument("--checkpoint", default="", dest="checkpoint",
+                   help="checkpoint file; resumes from it if present")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   dest="checkpoint_every",
+                   help="save the checkpoint every N iterations")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="print per-iteration luminance/timing metrics")
     return p
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
     args = make_parser().parse_args(argv)
 
     if args.report:
@@ -84,6 +97,23 @@ def main(argv=None) -> int:
 
         full_report(args)
         return 0
+
+    # Fault isolation: when the Pallas merge may run (merge-backend pallas,
+    # or auto which resolves to pallas on a single TPU device at >=512^2),
+    # supervise the real render in a child process that respawns from a
+    # per-iteration checkpoint if the tunneled TPU runtime faults on a
+    # Mosaic executable (see isolate.py). Decided here, before any JAX
+    # backend initialization, so the parent never owns the chip.
+    if args.isolate != "off":
+        uses_vm = (args.algorithm or "vcm") in ("ppm", "bpm", "vcm")
+        wants_pallas = args.merge_backend == "pallas" or (
+            args.merge_backend == "auto"
+            and args.resolution[0] * args.resolution[1] >= 512 * 512
+        )
+        if uses_vm and wants_pallas and args.devices in (0, 1):
+            from .isolate import run_supervised
+
+            return run_supervised(list(argv))
 
     if args.scene_id < 0 or args.scene_id >= len(SCENE_CONFIGS):
         print("Invalid <sceneID> argument, please see help (-h)")
@@ -146,7 +176,15 @@ def main(argv=None) -> int:
               "non-specular materials)")
     print(f"Running: {ALGORITHM_NAMES[algorithm]}...",
           end="\n" if args.verbose else " ", flush=True)
-    img, elapsed, iters = render(scene, cfg, verbose=args.verbose)
+    if args.checkpoint:
+        from .checkpoint import render_resumable
+
+        img, elapsed, iters = render_resumable(
+            scene, cfg, checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every, verbose=args.verbose,
+        )
+    else:
+        img, elapsed, iters = render(scene, cfg, verbose=args.verbose)
     print(f"done in {elapsed:.2f} s ({iters} iterations)")
 
     save_image(img, output)

@@ -132,9 +132,13 @@ def render_single_iteration(
     backend = cfg.merge_backend
     if backend == "auto":
         import jax
+        # The dense-slab kernel wins from ~512^2 up (439 vs 646 ms/iter at
+        # 512^2, and the gap grows with resolution); below that the XLA
+        # pair expansion is already cheap and not worth a Mosaic program.
         backend = (
             "pallas"
             if jax.default_backend() == "tpu" and cfg.mesh is None
+            and n >= 512 * 512
             else "xla"
         )
     if backend.startswith("pallas") and use_vm:

@@ -31,6 +31,12 @@ def full_report(args) -> None:
         split_files = ["", "", "", ""]
         split_borders = [NONE] * 4
 
+        # Merge caps are scene/resolution properties, not algorithm
+        # properties: carry the sized caps from one merging algorithm to
+        # the next so only the first pays the sizing recompiles (the
+        # ladder still grows them if an algorithm needs more).
+        sized_caps = {}
+
         for alg in ALGORITHMS:
             cfg = RenderConfig(
                 algorithm=alg,
@@ -47,10 +53,20 @@ def full_report(args) -> None:
                 # kernel shape per process (see render.py), so pin the
                 # portable XLA merge here.
                 merge_backend="xla",
+                **sized_caps,
             )
             print(f"Running {ALGORITHM_NAMES[alg]}... ", end="", flush=True)
             img, elapsed, iters = render(scene, cfg)
             print(f"done in {elapsed:.2f} s")
+            if alg in ("ppm", "bpm", "vcm"):
+                sized_caps = dict(
+                    pair_factor=max(cfg.pair_factor,
+                                    sized_caps.get("pair_factor", 0.0)),
+                    photon_factor=max(cfg.photon_factor,
+                                      sized_caps.get("photon_factor", 0.0)),
+                    query_factor=max(cfg.query_factor,
+                                     sized_caps.get("query_factor", 0.0)),
+                )
 
             from .cli import build_default_filename
 
