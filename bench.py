@@ -10,6 +10,9 @@ flops/bytes roofline estimate for the hot stages, and appends one record
 per run to BENCH_HISTORY.jsonl — the perf-regression trail. All extra
 output goes to stderr; stdout stays exactly one JSON line for the driver.
 
+Measured through the production block driver (render.py): 8 iterations per
+dispatch, measure-first merge caps — the same machinery the CLI runs.
+
 Ray count = path segments + shadow/occlusion rays actually enabled (the same
 work the reference performs per iteration; lanes masked off are not counted,
 so this is conservative for the wavefront design). The baseline divides the
@@ -19,8 +22,15 @@ container's CPU (BASELINE.md: vcm scene 0, 1 iter = 1.6 s core-seconds).
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# The persistent compilation cache makes the remote-compile service a
+# one-time cost across all processes (see render.py module docs).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 
@@ -39,81 +49,71 @@ REFERENCE_SECONDS = {
 PEAK_F32_TFLOPS = 4.0
 PEAK_HBM_GBS = 819.0
 
+BLOCK = 8
+
 
 def _eprint(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _sized_caps(vcm, scene, res, n, _bucket):
-    """Measured, overflow-free merge caps (same ladder as render.py)."""
-    probe = dict(pair_factor=24.0, photon_factor=3.0, query_factor=3.0)
-    while True:
-        fb, rays, overflow, stats = vcm.render_iteration_with_stats(
-            scene, 1, res, res, **probe
-        )
-        pairs, n_ph, n_q = (int(v) for v in stats)
-        grown = dict(
-            pair_factor=max(probe["pair_factor"], _bucket(pairs * 1.1, n)),
-            photon_factor=max(probe["photon_factor"],
-                              _bucket(n_ph * 1.1, n)),
-            query_factor=max(probe["query_factor"], _bucket(n_q * 1.1, n)),
-        )
-        if int(overflow) == 0:
-            break
-        probe = grown
-    return dict(
-        pair_factor=_bucket(pairs * 1.1, n),
-        photon_factor=_bucket(n_ph * 1.1, n),
-        query_factor=_bucket(n_q * 1.1, n),
-    ), pairs
+def _steady_blocks(runner, warm_blocks=1, timed_blocks=3):
+    """Time ``timed_blocks`` blocks after ``warm_blocks`` settle runs.
+
+    Returns (seconds_per_iteration, iterations_timed)."""
+    start = 0
+    for _ in range(warm_blocks):
+        runner(start, BLOCK)
+        start += BLOCK
+    t0 = time.time()
+    for _ in range(timed_blocks):
+        runner(start, BLOCK)
+        start += BLOCK
+    dt = time.time() - t0
+    return dt / (timed_blocks * BLOCK), timed_blocks * BLOCK
 
 
-def bench_vcm(scene, res, n, iters=5):
+def bench_vcm(scene, res, n):
     import jax.numpy as jnp
+    import numpy as np
 
+    from smallvcm_tpu import render as R
     from smallvcm_tpu.algorithms import vcm
-    from smallvcm_tpu.render import _bucket
 
-    caps, pairs = _sized_caps(vcm, scene, res, n, _bucket)
-    run = lambda it: vcm.render_iteration_with_stats(scene, it, res, res,
-                                                     **caps)
-    fb, rays, overflow, _ = run(1)
-    float(jnp.sum(fb))
-    assert int(overflow) == 0, "merge pair cap overflow after probe"
+    cfg = R.RenderConfig(algorithm="vcm", resolution=(res, res),
+                         merge_backend="xla")
+    runner = R._make_block_runner(scene, cfg, "vcm")
+    dt, _ = _steady_blocks(runner)
 
-    t0 = time.time()
-    for it in range(1, iters + 1):
-        fb, rays, overflow, _ = run(it)
-        float(jnp.sum(fb))
-    dt = (time.time() - t0) / iters
-    return dt, int(rays), pairs
+    # Per-iteration ray count + pair stats from one instrumented call at
+    # the driver's settled caps.
+    chunks = max(1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
+    _acc, rays, _ovf, stats, lum = vcm.render_block_with_stats(
+        scene, 1, res, res, 1,
+        pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
+        query_factor=cfg.query_factor, merge_chunks=chunks,
+        merge_backend="xla",
+    )
+    float(lum)
+    return dt, int(rays), int(np.asarray(stats)[0])
 
 
-def bench_algorithm(alg, scene, res, n, iters=3):
-    """Steady-state seconds/iteration + iteration-0 (compile-inclusive)
+def bench_algorithm(alg, scene, res, n):
+    """Steady-state seconds/iteration + block-0 (compile-inclusive)
     seconds for one algorithm through the production driver."""
-    import jax.numpy as jnp
+    from smallvcm_tpu import render as R
 
-    from smallvcm_tpu.render import RenderConfig, render_single_iteration
-
-    cfg = RenderConfig(algorithm=alg, resolution=(res, res),
-                       merge_backend="xla")
+    cfg = R.RenderConfig(algorithm=alg, resolution=(res, res),
+                         merge_backend="xla")
     t0 = time.time()
-    float(jnp.sum(render_single_iteration(scene, cfg, 0)))
+    runner = R._make_block_runner(scene, cfg, alg)
+    runner(0, BLOCK)
     cold = time.time() - t0
-    # One more settling iteration (cap ladder may shrink caps at iter 1).
-    float(jnp.sum(render_single_iteration(scene, cfg, 1)))
-    t0 = time.time()
-    for it in range(2, 2 + iters):
-        float(jnp.sum(render_single_iteration(scene, cfg, it)))
-    steady = (time.time() - t0) / iters
-    return steady, cold
+    dt, _ = _steady_blocks(runner, warm_blocks=0)
+    return dt, cold
 
 
 def roofline(res, n, rays_per_iter, pairs, dt_vcm):
     """Analytic flops/bytes for the hot stages of one VCM iteration."""
-    from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
-
     # Scene 0 primitive count: ~30 triangles + 2 spheres (dense sweep).
     prims = 32
     # Trace: every ray tests every primitive; ~55 flops per ray-prim test.
@@ -146,7 +146,6 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="also bench all 7 algorithms + roofline + history")
-    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
@@ -156,7 +155,7 @@ def main():
     scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
 
     record = {"ts": time.time(), "backend": jax.default_backend(),
-              "res": res, "algorithms": {}}
+              "res": res, "block": BLOCK, "algorithms": {}}
 
     if args.full:
         from smallvcm_tpu.render import ALGORITHMS
@@ -166,14 +165,14 @@ def main():
             ref = REFERENCE_SECONDS[alg]
             record["algorithms"][alg] = {
                 "steady_ms": round(steady * 1e3, 1),
-                "iter0_s": round(cold, 1),
+                "block0_s": round(cold, 1),
                 "vs_ref_cpu": round(ref / steady, 2),
             }
             _eprint(f"{alg}: {steady*1e3:.0f} ms/iter steady "
-                    f"(iter0 {cold:.1f} s incl. compile) — "
+                    f"(block0 {cold:.1f} s incl. compile/load) — "
                     f"{ref/steady:.1f}x reference CPU")
 
-    dt, rays, pairs = bench_vcm(scene, res, n, iters=args.iters)
+    dt, rays, pairs = bench_vcm(scene, res, n)
     rays_per_sec = rays / dt
     baseline = rays / REFERENCE_VCM_SCENE0_SECONDS
     record["vcm_rays_per_sec"] = round(rays_per_sec)

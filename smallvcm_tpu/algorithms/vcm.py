@@ -646,8 +646,13 @@ def merge_stage(
     f2i = lambda a: jax.lax.bitcast_convert_type(sg(a), jnp.int32)
     i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
 
-    # Payload rows: [pos3 | in_dir3 | normal3 | throughput3 | d_vcm | d_vm].
-    def payload_rows(v: StoredVertices):
+    # Payload planes [14, M]: pos3 | in_dir3 | normal3 | throughput3 |
+    # d_vcm | d_vm. PLANAR (axis=0) stacking is ~free; the wide-row
+    # [M, 14] layout this used through round 2 behaves like one 1-D
+    # gather PER FIELD on the v5e (~14 ns/element measured — hundreds of
+    # ms at these sizes), while column gathers on the planar table cost
+    # the same as row gathers (scripts/profile_microbench.py).
+    def payload_planes(v: StoredVertices):
         cols = [
             flat(v.position.x), flat(v.position.y), flat(v.position.z),
             flat(v.in_dir.x), flat(v.in_dir.y), flat(v.in_dir.z),
@@ -655,17 +660,17 @@ def merge_stage(
             flat(v.throughput.x), flat(v.throughput.y), flat(v.throughput.z),
             flat(v.d_vcm), flat(v.d_vm),
         ]
-        return jnp.stack(cols, axis=1)  # [M, 14]
+        return jnp.stack(cols, axis=0)  # [14, M]
 
     # ---- 1. Photons: compact, hash, sort, pre-permute. -------------------
     idx_p, n_p, ovf_p = grid_ops.compact_indices(flat(light_verts.valid),
                                                  photon_cap)
     pvalid_c = jnp.arange(photon_cap, dtype=jnp.int32) < n_p
-    pf_c = payload_rows(light_verts)[idx_p]           # [photon_cap, 14]
+    pf_c = payload_planes(light_verts)[:, idx_p]      # [14, photon_cap]
     p_mat_c = flat(light_verts.mat_id)[idx_p]
     p_len_c = idx_p // n_ph + 1                        # slot i = length i+1
 
-    px, py, pz = sg(pf_c[:, 0]), sg(pf_c[:, 1]), sg(pf_c[:, 2])
+    px, py, pz = sg(pf_c[0]), sg(pf_c[1]), sg(pf_c[2])
     big = jnp.float32(1e36)
     vmin = lambda a: jnp.min(jnp.where(pvalid_c, a, big))
     vmax = lambda a: jnp.max(jnp.where(pvalid_c, a, -big))
@@ -692,24 +697,24 @@ def merge_stage(
     )
     cell_tbl = jnp.stack([cell_start, cell_count], axis=1)  # [C, 2]
 
-    pf_s = pf_c[order]                                  # cell-sorted payload
+    pf_s = pf_c[:, order]                               # cell-sorted payload
     p_mat_s = p_mat_c[order]
     p_len_s = p_len_c[order]
     # Phase-1 photon row: position bits + path length, one gather per pair.
     p1 = jnp.stack(
-        [f2i(pf_s[:, 0]), f2i(pf_s[:, 1]), f2i(pf_s[:, 2]), p_len_s], axis=1
+        [f2i(pf_s[0]), f2i(pf_s[1]), f2i(pf_s[2]), p_len_s], axis=1
     )
 
     # ---- 2. Queries: compact + per-query pair-expansion row. --------------
     idx_q, n_q, ovf_q = grid_ops.compact_indices(flat(queries.valid),
                                                  query_cap)
     qvalid_c = jnp.arange(query_cap, dtype=jnp.int32) < n_q
-    qf_c = payload_rows(queries)[idx_q]                 # [query_cap, 14]
+    qf_c = payload_planes(queries)[:, idx_q]            # [14, query_cap]
     q_mat_c = flat(queries.mat_id)[idx_q]
     q_len_c = idx_q // n + 1
     q_path_c = (idx_q % n).astype(jnp.int32)            # owning path/pixel
 
-    qx, qy, qz = sg(qf_c[:, 0]), sg(qf_c[:, 1]), sg(qf_c[:, 2])
+    qx, qy, qz = sg(qf_c[0]), sg(qf_c[1]), sg(qf_c[2])
     # Query-side bbox rejection (hashgrid.hxx:116-122) PADDED by the merge
     # radius: camera hit points on a photon-bearing plane can land a few
     # f32 ULPs outside the tight photon bbox (the floor plane loses ~2% of
@@ -773,9 +778,16 @@ def merge_stage(
     # pair_cap / merge_chunks while total work and results are unchanged.
     assert query_cap % merge_chunks == 0, "query_cap % merge_chunks != 0"
     qc_n = query_cap // merge_chunks
-    pair_cap_c = max(pair_cap // merge_chunks, 1024)
+    # Per-chunk cap with 1.5x slack: pairs are NOT evenly distributed
+    # across query chunks (measured: a 2-chunk split overflowed at 512^2
+    # even though the total cap covered total pairs with 30% margin).
+    pair_cap_c = max(
+        pair_cap // merge_chunks
+        + (pair_cap // (2 * merge_chunks) if merge_chunks > 1 else 0),
+        1024,
+    )
     surv_cap = min(pair_cap_c, max(pair_cap_c // 4, 1024))
-    rv3 = lambda r, i: V3(r[:, i], r[:, i + 1], r[:, i + 2])
+    rv3 = lambda r, i: V3(r[i], r[i + 1], r[i + 2])  # planar [14, K] reads
 
     def chunk_body(c, carry):
         acc_x, acc_y, acc_z, ovf, pairs_total = carry
@@ -843,8 +855,8 @@ def merge_stage(
         qs_g = meta_c[:, 0] + base                      # global query index
         pp_c = meta_c[:, 1]
 
-        prow = pf_s[pp_c]                               # [surv_cap, 14]
-        qrow_f = qf_c[qs_g]
+        prow = pf_s[:, pp_c]                            # [14, surv_cap]
+        qrow_f = qf_c[:, qs_g]
 
         cam_b = bsdf_ops.setup(
             scene.materials, rv3(qrow_f, 3), rv3(qrow_f, 6), q_mat_c[qs_g],
@@ -866,10 +878,10 @@ def merge_stage(
         rev_pdf_w = rev_pdf_w * ph_b.cont_prob
 
         # [tech. rep. (38)-(39)]
-        w_light = prow[:, 12] * misc.mis_vc_weight + \
-            prow[:, 13] * _mis(dir_pdf_w)
-        w_camera = qrow_f[:, 12] * misc.mis_vc_weight + \
-            qrow_f[:, 13] * _mis(rev_pdf_w)
+        w_light = prow[12] * misc.mis_vc_weight + \
+            prow[13] * _mis(dir_pdf_w)
+        w_camera = qrow_f[12] * misc.mis_vc_weight + \
+            qrow_f[13] * _mis(rev_pdf_w)
         if ppm:
             mis_weight = jnp.ones_like(w_light)
         else:
@@ -899,7 +911,7 @@ def merge_stage(
     # Scale by the camera throughput + the vm normalization and route to
     # the owning path.
     acc = V3(acc_x, acc_y, acc_z)
-    acc = acc * V3(qf_c[:, 9], qf_c[:, 10], qf_c[:, 11]) * misc.vm_normalization
+    acc = acc * V3(qf_c[9], qf_c[10], qf_c[11]) * misc.vm_normalization
 
     pz_out = jnp.zeros((n,), jnp.float32)
     pdst = jnp.where(qvalid_c, q_path_c, n)
@@ -1194,7 +1206,12 @@ def _merge_finish(
     merge_overflow = jnp.zeros((), jnp.int32)
     merge_stats = jnp.zeros((3,), jnp.int32)
     if use_vm:
-        num_cells = 2 * n_paths_global  # perf knob only; results exact
+        # 8x pixels: purely a perf knob (results stay exact — candidates
+        # are always r^2-filtered). At 2x, hash collisions contributed
+        # ~40% of all candidate pairs at 512^2 (317K photons over 524K
+        # cells, 8 probes/query); gathers scale with the pair cap, so
+        # fewer spurious pairs is a direct merge-time win.
+        num_cells = 8 * n_paths_global
         if merge_backend in ("pallas", "pallas_interpret"):
             from ..ops.pallas_merge import merge_stage_pallas
 
@@ -1490,3 +1507,292 @@ def merge_finish_iteration(
         pair_factor, photon_factor, query_factor, "allgather",
         merge_chunks, merge_backend, axis_name=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Iteration-batched rendering (round 3).
+#
+# The tunneled single-TPU backend costs ~40 ms per dispatch round-trip and
+# the driver used to sync (int(overflow)) every iteration; batching `block`
+# iterations into one executable amortizes both. The fori_loop body is
+# traced once, so compile time is independent of the block size, and the
+# counter-based RNG keeps any (start, block) partition bit-identical to
+# the per-iteration loop.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("block",))
+def render_block_with_stats(
+    scene: SceneData,
+    start_iteration,
+    res_x: int,
+    res_y: int,
+    block: int = 1,
+    base_seed: int = 1234,
+    max_path_length: int = 10,
+    min_path_length: int = 0,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    use_vc: bool = True,
+    use_vm: bool = True,
+    light_trace_only: bool = False,
+    ppm: bool = False,
+    pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
+    vm_exchange: str = "allgather",
+    rng_kind: str = "threefry",
+    merge_chunks: int = 1,
+    merge_backend: str = "xla",
+):
+    """``block`` consecutive iterations in ONE executable.
+
+    Returns (image_sum [resY,resX,3], ray_count, overflow_sum, stats_max,
+    luminance) — overflow summed so ANY overflowing iteration triggers the
+    driver's grow-and-rerender (exactness), stats maxed so cap sizing sees
+    the worst iteration, and the luminance scalar doubles as the block's
+    host sync point.
+    """
+    n = res_x * res_y
+    pix = jnp.arange(n, dtype=jnp.uint32)
+
+    def body(j, carry):
+        acc, rays, ovf, stats = carry
+        img, r, o, st = render_iteration_core(
+            scene, start_iteration + j, pix, res_x, res_y, n, base_seed,
+            max_path_length, min_path_length, radius_factor, radius_alpha,
+            use_vc, use_vm, light_trace_only, ppm, pair_factor,
+            photon_factor, query_factor, vm_exchange, rng_kind,
+            merge_chunks, merge_backend, axis_name=None,
+        )
+        return acc + img, rays + r, ovf + o, jnp.maximum(stats, st)
+
+    init = (
+        jnp.zeros((res_y, res_x, 3), jnp.float32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((3,), jnp.int32),
+    )
+    acc, rays, ovf, stats = jax.lax.fori_loop(0, block, body, init)
+    return acc, rays, ovf, stats, jnp.sum(acc)
+
+
+# ---------------------------------------------------------------------------
+# Split-phase Pallas merge: prep / kernel / post as separate executables.
+#
+# On the tunneled runtime, an executable that mixes the large XLA prep with
+# the Mosaic kernel faults with INVALID_ARGUMENT on its SECOND execution
+# (scripts/repro_mosaic_fault.py isolates this: kernel-only and XLA-only
+# programs re-execute fine; the combined program faults). Production
+# therefore runs trace -> prep -> kernel -> post as four executables; all
+# intermediates stay on device and the host only syncs once per block.
+# ---------------------------------------------------------------------------
+
+
+_STATIC_PREP = (
+    "res_x", "res_y", "photon_factor", "query_factor",
+)
+
+
+def _merge_prep_impl(
+    scene: SceneData,
+    iteration,
+    traced,
+    res_x: int,
+    res_y: int,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
+):
+    from ..ops.pallas_merge import merge_prep
+
+    fb, color, queries, verts, sx, sy, ray_count = traced
+    n = res_x * res_y
+    misc = compute_misc(
+        scene, iteration, n, radius_factor, radius_alpha, True, True
+    )
+    return merge_prep(
+        scene, misc, queries, verts,
+        _pad_mult(int(photon_factor * n), 128),
+        _pad_mult(int(query_factor * n), 128), n,
+    )
+
+
+_MERGE_PREP_JIT = {}
+
+
+def merge_prep_iteration(*args, **kwargs):
+    """XLA prep half over a trace_iteration result.
+
+    Returns (kernel_operands, q_path, n_q, overflow, stats); feed
+    kernel_operands to pallas_merge.run_tile_kernel_jit and everything to
+    merge_post_iteration.
+
+    The jit FORCES default physical layouts on every output: the qtab
+    bake ends in a tiled transpose that XLA would otherwise keep as a
+    metadata-only layout permutation, and the Mosaic kernel compiled
+    against that permuted-layout operand faults with INVALID_ARGUMENT on
+    its second execution on the tunneled TPU runtime
+    (scripts/repro_mosaic_fault.py: default-layout operands re-execute
+    clean, chained permuted-layout operands fault).
+    """
+    fn = _MERGE_PREP_JIT.get("fn")
+    if fn is None:
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            dev = jax.devices()[0]
+            fmt = lambda nd: Format(
+                Layout(tuple(range(nd))), SingleDeviceSharding(dev)
+            )
+            out_fmt = ((fmt(3), fmt(2), fmt(2)),
+                       fmt(1), fmt(0), fmt(0), fmt(1))
+            fn = jax.jit(_merge_prep_impl, static_argnames=_STATIC_PREP,
+                         out_shardings=out_fmt)
+        except (ImportError, TypeError):  # pragma: no cover - older jax
+            fn = jax.jit(_merge_prep_impl, static_argnames=_STATIC_PREP)
+        _MERGE_PREP_JIT["fn"] = fn
+    return fn(*args, **kwargs)
+
+
+@partial(jax.jit, static_argnames=("res_x", "res_y"))
+def merge_post_iteration(
+    scene: SceneData,
+    iteration,
+    traced,
+    kout,
+    qtab,
+    q_path,
+    n_q,
+    accum_img,
+    accum_ovf,
+    prep_ovf,
+    res_x: int,
+    res_y: int,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+):
+    """Kernel output -> this iteration's image, added onto ``accum_img``.
+
+    Returns (accum_img + iteration image, accum_ovf + prep_ovf, ray_count,
+    luminance-of-accum) — the luminance scalar is the block's host sync.
+    """
+    from ..ops.pallas_merge import merge_post
+
+    fb, color, queries, verts, sx, sy, ray_count = traced
+    n = res_x * res_y
+    misc = compute_misc(
+        scene, iteration, n, radius_factor, radius_alpha, True, True
+    )
+    mc = merge_post(kout, qtab, q_path, n_q, misc.vm_normalization, n)
+    color = color + mc
+    fb = add_color(fb, sx, sy, color)
+    out = accum_img + fb.to_array()
+    return out, accum_ovf + prep_ovf, ray_count, jnp.sum(out)
+
+
+@partial(jax.jit, static_argnames=("res_x", "res_y"))
+def merge_demand_iteration(
+    scene: SceneData,
+    iteration,
+    traced,
+    res_x: int,
+    res_y: int,
+    radius_factor: float = 0.003,
+    radius_alpha: float = 0.75,
+):
+    """EXACT candidate-pair demand of the XLA merge over a traced
+    iteration — no caps, no sort, so one cheap program sizes the XLA
+    pair/photon/query caps without the render-retry ladder.
+
+    Counts with the same spatial hash + 2x2x2 probe the XLA merge_stage
+    uses (hash collisions included), so pair_cap >= pairs is exact.
+    Returns (pairs, n_photons, n_queries) as one int32[3] array.
+    """
+    fb, color, queries, verts, sx, sy, ray_count = traced
+    n = res_x * res_y
+    num_cells = 8 * n  # must match _merge_finish's hash-cell count
+    misc = compute_misc(
+        scene, iteration, n, radius_factor, radius_alpha, True, True
+    )
+
+    flat = lambda a: a.reshape((-1,))
+    pv = flat(verts.valid)
+    px, py, pz = flat(verts.position.x), flat(verts.position.y), \
+        flat(verts.position.z)
+    big = jnp.float32(1e36)
+    mn = lambda a: jnp.min(jnp.where(pv, a, big))
+    mx = lambda a: jnp.max(jnp.where(pv, a, -big))
+    mnx, mny, mnz = mn(px), mn(py), mn(pz)
+    mxx, mxy, mxz = mx(px), mx(py), mx(pz)
+    inv_cell = 1.0 / (misc.radius * 2.0)
+
+    def cell(x, y, z):
+        return (
+            jnp.floor((x - mnx) * inv_cell).astype(jnp.int32),
+            jnp.floor((y - mny) * inv_cell).astype(jnp.int32),
+            jnp.floor((z - mnz) * inv_cell).astype(jnp.int32),
+        )
+
+    h = grid_ops._hash_cell(*cell(px, py, pz), num_cells)
+    counts = jnp.zeros((num_cells,), jnp.int32).at[
+        jnp.where(pv, h, num_cells)
+    ].add(1, mode="drop")
+
+    qv = flat(queries.valid)
+    qx, qy, qz = flat(queries.position.x), flat(queries.position.y), \
+        flat(queries.position.z)
+    pad = misc.radius
+    in_bbox = (
+        (qx >= mnx - pad) & (qx <= mxx + pad)
+        & (qy >= mny - pad) & (qy <= mxy + pad)
+        & (qz >= mnz - pad) & (qz <= mxz + pad)
+    )
+    live = qv & in_bbox
+    bx, by, bz = cell(qx, qy, qz)
+    rel = lambda a, mnv: (a - mnv) * inv_cell
+    pick = lambda r: jnp.where(r - jnp.floor(r) < 0.5, -1, 1).astype(
+        jnp.int32
+    )
+    sx_, sy_, sz_ = pick(rel(qx, mnx)), pick(rel(qy, mny)), pick(rel(qz, mnz))
+    per_q = jnp.zeros_like(bx)
+    for bit in range(8):
+        hc = grid_ops._hash_cell(
+            bx + (sx_ if bit & 1 else 0),
+            by + (sy_ if bit & 2 else 0),
+            bz + (sz_ if bit & 4 else 0),
+            num_cells,
+        )
+        per_q = per_q + jnp.where(live, counts[hc], 0)
+
+    return jnp.stack([
+        jnp.sum(per_q),
+        jnp.sum(pv.astype(jnp.int32)),
+        jnp.sum(qv.astype(jnp.int32)),
+    ])
+
+
+@partial(jax.jit, static_argnames=("max_iters", "n_paths", "use_vc"))
+def misc_scal_table(
+    scene: SceneData, max_iters: int, n_paths: int,
+    radius_factor: float = 0.003, radius_alpha: float = 0.75,
+    use_vc: bool = True,
+):
+    """[max_iters, 2] table of (radius_sqr, mis_vc_weight) per iteration.
+
+    The split-pallas driver fetches this ONCE and feeds the kernel a
+    host-built scal operand per iteration (pallas_merge.make_scal): the
+    values must be the device-computed f32 radius schedule so the
+    kernel's r^2 test matches the normalization/MIS constants the
+    prep/post programs compute internally (vertexcm.hxx:294-308).
+    """
+    its = jnp.arange(max_iters, dtype=jnp.float32)
+    base_radius = radius_factor * scene.scene_sphere.radius
+    radius = base_radius / jnp.power(its + 1.0, 0.5 * (1.0 - radius_alpha))
+    radius = jnp.maximum(radius, 1e-7)
+    r2 = radius * radius
+    eta = PI_F * r2 * jnp.float32(n_paths)
+    vc_w = (1.0 / eta) if use_vc else jnp.zeros_like(eta)
+    return jnp.stack([r2, vc_w], axis=1)

@@ -50,50 +50,66 @@ def render_resumable(scene, cfg, checkpoint_path: str | None = None,
     takes precedence over ``cfg.iterations`` (smallvcm.cxx semantics) and
     applies to THIS invocation (a supervisor resuming a crashed run passes
     the remaining budget).
+
+    The checkpoint cadence is block-granular: the driver renders
+    ``block_size`` iterations per dispatch, and the checkpoint hook fires
+    after each block (every block whose end crosses a multiple of
+    ``checkpoint_every``). Resume stays bit-exact at any boundary because
+    iterations are counter-seeded.
     """
-    import time
+    from .render import render
 
-    from .io.framebuffer import total_luminance
-    from .render import render_single_iteration
-
-    res_x, res_y = cfg.resolution
-    accum = jnp.zeros((res_y, res_x, 3), jnp.float32)
+    accum = None
     start_iter = 0
 
     if checkpoint_path and Path(checkpoint_path).exists():
-        accum, start_iter, seed, _ = load_checkpoint(checkpoint_path)
-        assert seed == cfg.base_seed, "checkpoint seed mismatch"
-
-    t0 = time.time()
-    it = start_iter
-    done = start_iter
-
-    def step(it, accum):
-        ts = time.time()
-        accum = accum + render_single_iteration(scene, cfg, it)
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            accum.block_until_ready()
-            save_checkpoint(
-                checkpoint_path, accum, it + 1, cfg.base_seed,
-                dict(algorithm=cfg.algorithm),
+        accum, start_iter, seed, meta = load_checkpoint(checkpoint_path)
+        if seed != cfg.base_seed:
+            raise ValueError(
+                f"checkpoint seed mismatch: saved {seed}, "
+                f"config {cfg.base_seed}"
             )
-        if verbose:
-            lum = float(total_luminance(accum)) / (it + 1)
-            print(f"  iter {it}: luminance={lum:.1f} "
-                  f"dt={time.time() - ts:.3f}s", flush=True)
-        return accum
+        saved_alg = meta.get("algorithm")
+        if saved_alg is not None and saved_alg != cfg.algorithm:
+            raise ValueError(
+                f"checkpoint algorithm mismatch: saved {saved_alg!r}, "
+                f"config {cfg.algorithm!r}"
+            )
+        for field in ("resolution", "radius_factor", "radius_alpha",
+                      "max_path_length", "min_path_length"):
+            saved = meta.get(field)
+            now = getattr(cfg, field)
+            if saved is not None and tuple(np.atleast_1d(saved)) != \
+                    tuple(np.atleast_1d(now)):
+                raise ValueError(
+                    f"checkpoint {field} mismatch: saved {saved}, "
+                    f"config {now}"
+                )
 
-    if cfg.max_time > 0:
-        while time.time() - t0 < cfg.max_time:
-            accum = step(done, accum)
-            accum.block_until_ready()
-            done += 1
-    else:
-        for it in range(start_iter, cfg.iterations):
-            accum = step(it, accum)
-            done = it + 1
-    accum.block_until_ready()
-    elapsed = time.time() - t0
+    last_saved = start_iter
 
-    img = accum / max(done, 1)
-    return img, elapsed, done
+    def block_cb(acc, done):
+        nonlocal last_saved
+        if not checkpoint_every or not checkpoint_path:
+            return
+        if done - last_saved >= checkpoint_every:
+            acc.block_until_ready()
+            save_checkpoint(
+                checkpoint_path, acc, done, cfg.base_seed,
+                dict(
+                    algorithm=cfg.algorithm,
+                    resolution=list(cfg.resolution),
+                    radius_factor=cfg.radius_factor,
+                    radius_alpha=cfg.radius_alpha,
+                    max_path_length=cfg.max_path_length,
+                    min_path_length=cfg.min_path_length,
+                ),
+            )
+            last_saved = done
+
+    # Checkpoint cadence caps the block size (a fault loses at most one
+    # un-checkpointed block).
+    if checkpoint_every and not cfg.block_size:
+        cfg.block_size = max(1, min(8, checkpoint_every))
+    return render(scene, cfg, verbose=verbose, accum=accum,
+                  start_iter=start_iter, block_cb=block_cb)

@@ -68,15 +68,21 @@ def make_parser() -> argparse.ArgumentParser:
                         "(0 = all local; 1 forces single-device)")
     p.add_argument("--merge-backend", default="auto",
                    choices=("auto", "pallas", "xla"),
-                   help="photon-merge backend: pallas = dense-slab TPU "
-                        "kernel, xla = portable pair expansion, auto = "
-                        "pallas on a single TPU device at >=512x512")
+                   help="photon-merge backend: xla = portable pair "
+                        "expansion (default; auto = xla), pallas = "
+                        "dense-slab TPU kernel (opt-in: this "
+                        "environment's tunneled runtime faults "
+                        "nondeterministically around Mosaic programs)")
+    p.add_argument("--block", type=int, default=0, dest="block_size",
+                   help="iterations per device dispatch (0 = auto: 8; "
+                        "any block partition is bit-exact)")
     p.add_argument("--isolate", default="auto",
                    choices=("auto", "on", "off"),
                    help="supervise the render in a child process that "
-                        "auto-respawns from a per-iteration checkpoint if "
-                        "the TPU runtime faults (default: on whenever the "
-                        "Pallas merge may run)")
+                        "auto-respawns from a checkpoint if the TPU "
+                        "runtime faults (auto = off: round 3 removed the "
+                        "known fault trigger by keeping the Mosaic merge "
+                        "kernel in its own executable)")
     p.add_argument("--checkpoint", default="", dest="checkpoint",
                    help="checkpoint file; resumes from it if present")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -92,28 +98,28 @@ def main(argv=None) -> int:
         argv = sys.argv[1:]
     args = make_parser().parse_args(argv)
 
+    # The environment's remote-compile service makes fresh compiles cost
+    # minutes; the persistent compilation cache makes them one-time
+    # across ALL processes. Set before any compile (backend init is
+    # lazy, so doing it here is early enough).
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
     if args.report:
         from .report import full_report
 
         full_report(args)
         return 0
 
-    # Fault isolation: when the Pallas merge may run (merge-backend pallas,
-    # or auto which resolves to pallas on a single TPU device at >=512^2),
-    # supervise the real render in a child process that respawns from a
-    # per-iteration checkpoint if the tunneled TPU runtime faults on a
-    # Mosaic executable (see isolate.py). Decided here, before any JAX
-    # backend initialization, so the parent never owns the chip.
-    if args.isolate != "off":
-        uses_vm = (args.algorithm or "vcm") in ("ppm", "bpm", "vcm")
-        wants_pallas = args.merge_backend == "pallas" or (
-            args.merge_backend == "auto"
-            and args.resolution[0] * args.resolution[1] >= 512 * 512
-        )
-        if uses_vm and wants_pallas and args.devices in (0, 1):
-            from .isolate import run_supervised
+    # Fault isolation (opt-in; see isolate.py). Decided here, before any
+    # JAX backend initialization, so the parent never owns the chip.
+    if args.isolate == "on":
+        from .isolate import run_supervised
 
-            return run_supervised(list(argv))
+        return run_supervised(list(argv))
 
     if args.scene_id < 0 or args.scene_id >= len(SCENE_CONFIGS):
         print("Invalid <sceneID> argument, please see help (-h)")
@@ -157,6 +163,7 @@ def main(argv=None) -> int:
         resolution=tuple(args.resolution),
         rng_kind=args.rng_kind,
         merge_backend=args.merge_backend,
+        block_size=args.block_size,
         mesh=mesh,
     )
 

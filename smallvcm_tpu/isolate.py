@@ -1,20 +1,23 @@
 """Fault-isolated rendering: supervise the render in a child process.
 
 The tunneled single-TPU runtime in this environment can fault
-(INVALID_ARGUMENT) when re-executing Mosaic (Pallas) executables, in ways
-that depend on the program bytes rather than semantics; once it faults,
-every later dispatch in the process fails (the session is poisoned). The
-fault is not fixable from user code, so the production Pallas merge runs
-under a supervisor:
+(INVALID_ARGUMENT) in ways user code cannot repair — once it faults, every
+later dispatch in the process fails. Round 3 removed the known trigger
+(a Mosaic kernel embedded in a large XLA executable re-executing; the
+production merge now runs the kernel in its own executable — see
+ops/pallas_merge.py::merge_prep), so supervision is OFF by default and
+available via ``--isolate on`` as a belt-and-braces harness:
 
-* the parent re-invokes the CLI as a child with per-iteration
-  checkpointing (checkpoint.py — resume is bit-exact because inter-
-  iteration state is only (framebuffer, iteration, seed));
-* if the child dies with a runtime-fault signature, the parent respawns it
-  resuming from the checkpoint. The persistent JAX compilation cache makes
-  the respawn recompile cheap;
+* the parent re-invokes the CLI as a child with periodic checkpointing
+  (checkpoint.py — resume is bit-exact because inter-iteration state is
+  only (framebuffer, iteration, seed));
+* if the child dies with a runtime-fault signature, the parent respawns
+  it resuming from the checkpoint;
 * after ``max_faults`` faults the parent forces ``--merge-backend xla``
-  (no Mosaic kernel at all) and lets the run finish.
+  (no Mosaic kernel at all); if the child keeps faulting WITHOUT making
+  checkpoint progress, the supervisor gives up instead of spinning
+  (advisor round 2: a dead tunnel emitting UNAVAILABLE must not respawn
+  forever).
 
 The parent never initializes the TPU backend — the child owns the chip.
 """
@@ -35,6 +38,9 @@ _FAULT_MARKERS = (
 )
 
 MAX_FAULTS = 2
+# Consecutive faults with no checkpoint progress before giving up
+# entirely (prevents unbounded respawn loops on a dead backend).
+MAX_STALLED_FAULTS = 3
 
 
 def _strip_flag(argv, flag, has_value=True):
@@ -49,14 +55,33 @@ def _strip_flag(argv, flag, has_value=True):
     return out
 
 
+def _checkpoint_iteration(path: str) -> int:
+    """Saved iteration count, or -1 if no checkpoint exists yet."""
+    try:
+        import numpy as np
+
+        with np.load(path, allow_pickle=False) as z:
+            return int(z["iterations_done"])
+    except (OSError, KeyError, ValueError):
+        return -1
+
+
 def run_supervised(argv, max_faults: int = MAX_FAULTS) -> int:
     """Run ``python -m smallvcm_tpu.cli <argv>`` in a supervised child.
 
-    Returns the final exit code. ``argv`` is the parent's CLI argv (without
-    the program name)."""
-    ckpt = os.path.join(
+    Returns the final exit code. ``argv`` is the parent's CLI argv
+    (without the program name)."""
+    from .cli import make_parser
+
+    args = make_parser().parse_args(list(argv))
+
+    # Reuse a user-supplied checkpoint so their resumable file is written
+    # (advisor round 2); fall back to a temp path only when absent.
+    ckpt = args.checkpoint or os.path.join(
         tempfile.mkdtemp(prefix="smallvcm_isolate_"), "ckpt.npz"
     )
+    every = min(args.checkpoint_every or 8, 8)
+
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
@@ -66,15 +91,15 @@ def run_supervised(argv, max_faults: int = MAX_FAULTS) -> int:
     base = _strip_flag(base, "--checkpoint-every")
     base = _strip_flag(base, "--isolate")
 
-    # Time budget: track wall clock across respawns and hand the child the
-    # remainder (render_resumable applies -t to its own invocation).
-    t_budget = None
-    if "-t" in base:
-        t_budget = float(base[base.index("-t") + 1])
+    # Time budget across respawns, parsed robustly via the real parser
+    # (handles -t5 / -t=5 spellings the old token scan missed).
+    t_budget = args.max_time if args.max_time > 0 else None
     t0 = time.time()
 
     faults = 0
+    stalled = 0
     force_xla = False
+    last_iter = _checkpoint_iteration(ckpt)
     while True:
         cmd = base[:]
         if force_xla:
@@ -85,7 +110,7 @@ def run_supervised(argv, max_faults: int = MAX_FAULTS) -> int:
             remaining = max(1.0, t_budget - (time.time() - t0))
             cmd = _strip_flag(cmd, "-t") + ["-t", str(remaining)]
         cmd += ["--isolate", "off", "--checkpoint", ckpt,
-                "--checkpoint-every", "1"]
+                "--checkpoint-every", str(every)]
         proc = subprocess.run(
             [sys.executable, "-m", "smallvcm_tpu.cli", *cmd],
             env=env, stderr=subprocess.PIPE, text=True,
@@ -97,6 +122,14 @@ def run_supervised(argv, max_faults: int = MAX_FAULTS) -> int:
         if not is_fault:
             return proc.returncode
         faults += 1
+        now_iter = _checkpoint_iteration(ckpt)
+        stalled = 0 if now_iter > last_iter else stalled + 1
+        last_iter = now_iter
+        if stalled >= MAX_STALLED_FAULTS:
+            print("[smallvcm_tpu] runtime faulted "
+                  f"{stalled}x with no checkpoint progress; giving up",
+                  flush=True)
+            return proc.returncode
         if faults >= max_faults and not force_xla:
             print("[smallvcm_tpu] runtime faulted "
                   f"{faults}x; falling back to --merge-backend xla",

@@ -21,13 +21,20 @@ row gathers per candidate pair (~10 ns/row each on a v5e — ~90 ms each at
   128-photon slabs, sorted, and merged into disjoint slab runs — every
   candidate photon appears in exactly one slab of its tile's list.
 
-* Kernel: a flattened (tile, slab) work list drives a sequential Pallas
-  grid. The query block [128, 32] stays resident in VMEM while photon
-  slabs [16, 128] stream through; each step evaluates the dense 128x128
-  pair block on the VPU (exact r^2 + path-length window + the camera-BSDF
-  evaluate and MIS weight [tech. rep. (38)-(39)], mirroring
-  ops/bsdf.py::evaluate) and accumulates per-query RGB into a revisited
-  output block.
+* Kernel: grid = one step per 128-query tile. Each step DMAs the tile's
+  packed slab-run table (<=9 (lo, cum) pairs, 128 bytes) from HBM into
+  SMEM, then streams the tile's photon slabs [16, 128] from HBM through a
+  double-buffered VMEM scratch with explicit async copies; each slab is
+  evaluated as a dense 128x128 pair block on the VPU (exact r^2 +
+  path-length window + the camera-BSDF evaluate and MIS weight
+  [tech. rep. (38)-(39)], mirroring ops/bsdf.py::evaluate) and accumulated
+  into the tile's output block. Per-tile work is data-dependent (a
+  fori_loop bound read from SMEM), so there is NO work-list cap to size
+  and the kernel's SMEM/VMEM footprint is a small constant — the round-2
+  design kept the whole flattened work list as scalar-prefetch arrays in
+  SMEM (3 x work_cap int32), which scaled with scene photon density and
+  is the prime suspect for the scene-1 scoped-allocation fault on the
+  real chip.
 
 Superset slabs are safe (dense pairs are masked by the same r^2 the
 reference applies, hashgrid.hxx:157-167); duplicates would not be — the
@@ -69,25 +76,14 @@ _PSENT = jnp.float32(-3e18)  # distinct sentinel for dead photons
 # ---------------------------------------------------------------------------
 
 
-def _kernel(
-    wt_ref, ws_ref, wf_ref,      # scalar-prefetch: work tile/slab/first
-    scal_ref,                    # [1, 4] SMEM: r^2, mis_vc_weight, -, -
-    q_ref,                       # [QTILE, QF] resident query tile
-    p_ref,                       # [PF, SLAB] streamed photon slab
-    out_ref,                     # [QTILE, 8] per-tile RGB accumulator
-    *, max_path_length: int, min_path_length: int, ppm: bool,
+def _dense_block(
+    r2, vc_w, q, p, *, max_path_length: int, min_path_length: int,
+    ppm: bool,
 ):
-    w = pl.program_id(0)
+    """Evaluate the dense [QTILE, SLAB] pair block -> [QTILE, 3] RGB sums.
 
-    @pl.when(wf_ref[w] == 1)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    r2 = scal_ref[0, 0]
-    vc_w = scal_ref[0, 1]
-
-    q = q_ref[:]                      # [128, QF]
-    p = p_ref[:]                      # [PF, 128]
+    q: [QTILE, QF] baked query rows; p: [PF, SLAB] baked photon slab.
+    """
     qc = lambda j: q[:, j:j + 1]      # [128, 1] query column
     pc = lambda j: p[j:j + 1, :]      # [1, 128] photon row
 
@@ -146,11 +142,90 @@ def _kernel(
         mis = 1.0 / (w_light + 1.0 + w_camera)
 
     mis = mis * ok.astype(jnp.float32)
+    sums = []
     for c in range(3):
         # factor_c = diffuse_c/pi [diffuse ok] + rho_c * lobe [phong ok]
         fac = qc(21 + c) * okd_f + qc(24 + c) * lobe
         contrib = fac * pc(6 + c) * mis
-        out_ref[:, c:c + 1] += jnp.sum(contrib, axis=1, keepdims=True)
+        sums.append(jnp.sum(contrib, axis=1, keepdims=True))
+    return sums
+
+
+# Runs-table layout (one [RUNCOLS] int32 row per query tile, DMA'd to SMEM):
+# col 0 = total slab count; col 1+2j = run j's first slab; col 2+2j = the
+# cumulative slab count through run j (j = 0..8); rest zero padding
+# (Mosaic requires DMA slices 128-aligned along the minor dimension).
+RUNCOLS = 128
+
+
+def _tile_kernel(
+    scal_ref,                    # [1, 4] SMEM: r^2, mis_vc_weight, -, -
+    q_ref,                       # [1, QTILE, QF] resident query tile (VMEM)
+    runs_ref,                    # [n_tiles, RUNCOLS] int32 (HBM)
+    ptab_ref,                    # [PF, photon_cap] f32 (HBM)
+    out_ref,                     # [8, QTILE] this tile's RGB output
+    runs_smem,                   # SMEM scratch [RUNCOLS]
+    pbuf,                        # VMEM scratch [2, PF, SLAB]
+    acc,                         # VMEM scratch [QTILE, 8] accumulator
+    sem_runs, sem_p,             # DMA semaphores (), (2,)
+    *, max_path_length: int, min_path_length: int, ppm: bool,
+):
+    t = pl.program_id(0)
+    fetch = pltpu.make_async_copy(runs_ref.at[t], runs_smem, sem_runs)
+    fetch.start()
+    acc[:] = jnp.zeros_like(acc)
+    fetch.wait()
+    total = runs_smem[0]
+
+    def slab_of(k):
+        """Map flat slab index k -> photon slab id via the <=9 runs."""
+        slab = jnp.int32(0)
+        prev = jnp.int32(0)
+        for j in range(9):
+            lo = runs_smem[1 + 2 * j]
+            cum = runs_smem[2 + 2 * j]
+            sel = (k >= prev) & (k < cum)
+            slab = jnp.where(sel, lo + (k - prev), slab)
+            prev = cum
+        return slab
+
+    def slab_dma(k, slot):
+        s = slab_of(k)
+        return pltpu.make_async_copy(
+            ptab_ref.at[:, pl.ds(s * SLAB, SLAB)],
+            pbuf.at[slot], sem_p.at[slot],
+        )
+
+    @pl.when(total > 0)
+    def _():
+        slab_dma(0, 0).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < total)
+            def _():
+                slab_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+            slab_dma(k, slot).wait()
+            r, g, b = _dense_block(
+                scal_ref[0, 0], scal_ref[0, 1], q_ref[0], pbuf[slot],
+                max_path_length=max_path_length,
+                min_path_length=min_path_length, ppm=ppm,
+            )
+            acc[:, 0:1] += r
+            acc[:, 1:2] += g
+            acc[:, 2:3] += b
+            return 0
+
+        jax.lax.fori_loop(0, total, body, 0)
+
+    # One [QTILE, 8] -> [8, QTILE] transpose per tile: the channel-major
+    # output is the layout Mosaic produces natively, so the kernel's
+    # logical output layout matches its physical one — downstream XLA
+    # programs then consume a DEFAULT-layout buffer (permuted-layout
+    # Mosaic outputs poison the tunneled runtime; see merge_prep).
+    out_ref[:] = acc[:].T
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +241,17 @@ def _i2f(a):
     return jax.lax.bitcast_convert_type(a, jnp.float32)
 
 
-def _source_payload(verts):
-    """Full-width [L*N, 16] f32 rows: pos3 | in_dir3 | normal3 | thr3 |
-    d_vcm | d_vm | mat_bits | valid. One wide-row gather then moves a
-    vertex (TPU gathers cost per row, not per element)."""
+def _source_planes(verts):
+    """Planar [16, L*N] f32 field planes: pos3 | in_dir3 | normal3 | thr3 |
+    d_vcm | d_vm | mat_bits | valid.
+
+    Planar (axis=0) stacking is ~free (pure concatenation); the round-2
+    wide-row [L*N, 16] layout cost SECONDS to build on the v5e — a
+    16-way lane-interleave the compiler lowers catastrophically
+    (measured 3.4 s at [3.1M, 16] vs 30 ms planar;
+    scripts/profile_microbench.py). Column gathers on the planar table
+    cost the same as row gathers on the wide table, so nothing is lost.
+    """
     flat = lambda a: jax.lax.stop_gradient(a).reshape((-1,))
     return jnp.stack([
         flat(verts.position.x), flat(verts.position.y),
@@ -181,7 +263,7 @@ def _source_payload(verts):
         flat(verts.d_vcm), flat(verts.d_vm),
         _i2f(verts.mat_id.reshape((-1,))),
         verts.valid.reshape((-1,)).astype(jnp.float32),
-    ], axis=1)
+    ], axis=0)
 
 
 def _cells_of(x, y, z, mins, inv_cell, live):
@@ -196,42 +278,40 @@ def _cells_of(x, y, z, mins, inv_cell, live):
     )
 
 
-def _compact_sorted(payload, keys, cap: int):
-    """Compact live rows (valid in payload col 15) to ``cap`` slots sorted
-    by key. Returns (rows [cap, 16], src index [cap], count, overflow).
+def _compact_sorted(planes, keys, cap: int):
+    """Compact live columns (valid in plane 15) to ``cap`` slots sorted
+    by key. Returns (planes [16, cap], src index [cap], count, overflow).
     Dead slots sort last (their key is the sentinel, strictly above any
     live key, so sorted position < count <=> live)."""
-    valid = payload[:, 15] > 0.0
+    valid = planes[15] > 0.0
     idx, count, ovf = grid_ops.compact_indices(valid, cap)
     keys_c = jnp.where(
         jnp.arange(cap, dtype=jnp.int32) < count, keys[idx], _KEY_SENT
     )
     order = grid_ops.stable_radix_argsort(keys_c.astype(jnp.uint32), 20)
     src = idx[order.astype(jnp.int32)]
-    return payload[src], src, count, ovf
+    return planes[:, src], src, count, ovf
 
 
-def merge_stage_pallas(
-    scene, misc, queries, light_verts, work_cap: int, ppm: bool,
-    max_path_length: int, min_path_length: int,
+def merge_prep(
+    scene, misc, queries, light_verts,
     photon_cap: int, query_cap: int, n_paths: int,
-    interpret: bool = False, measure_only: bool = False,
+    measure_only: bool = False,
 ):
-    """Drop-in replacement for merge_stage (same contract; hash cell count
-    and merge_chunks do not apply). ``work_cap`` bounds the flattened
-    (tile, slab) work list; stats[0] reports used work * SLAB so the
-    driver's pair_factor ladder sizes it exactly like the XLA pair cap.
+    """XLA half of the Pallas merge: compaction, cell sort, table bake.
 
-    Returns (color_add V3 [n_paths], overflow, stats[3]).
+    Returns ((scal, qtab, runs_tbl, ptab), q_path, n_q, overflow, stats)
+    — the first tuple is exactly the kernel's operand list, so a driver
+    can run prep / kernel / post as THREE separate executables: on the
+    tunneled TPU runtime, an executable that mixes this (large) XLA
+    program with the Mosaic kernel faults on RE-execution
+    (INVALID_ARGUMENT; reproduced in scripts/repro_mosaic_fault.py:
+    kernel-only and XLA-only programs re-execute fine, the combined one
+    faults on its second execution), so production keeps the kernel in
+    its own tiny executable.
 
-    With ``measure_only`` the Mosaic kernel is never lowered: the call
-    returns (None, overflow, stats) after the XLA-side prep, where stats[0]
-    is the EXACT work-list demand (slabs * SLAB) the kernel would see at
-    these photon/query caps. The driver uses this to compile the real
-    kernel exactly once per process at right-sized caps — the tunneled TPU
-    runtime has been observed to fault re-executing Mosaic programs once a
-    second shape variant exists in the process, so cap re-bucketing must
-    happen before the one and only pallas compile (see render.py).
+    With ``measure_only`` the tables are not baked: returns
+    (None, None, n_q, overflow, stats) after the sizing math only.
     """
     assert photon_cap % SLAB == 0 and query_cap % QTILE == 0
     lq, n = queries.valid.shape
@@ -242,17 +322,17 @@ def merge_stage_pallas(
     sg = jax.lax.stop_gradient
 
     # ---- Photons: bbox, keys, compact + sort, bake, row table. -----------
-    psrc = _source_payload(light_verts)
-    pv = psrc[:, 15] > 0.0
+    psrc = _source_planes(light_verts)
+    pv = psrc[15] > 0.0
     big = jnp.float32(1e36)
-    vmin = lambda c: jnp.min(jnp.where(pv, psrc[:, c], big))
-    vmax = lambda c: jnp.max(jnp.where(pv, psrc[:, c], -big))
+    vmin = lambda c: jnp.min(jnp.where(pv, psrc[c], big))
+    vmax = lambda c: jnp.max(jnp.where(pv, psrc[c], -big))
     mins = (vmin(0), vmin(1), vmin(2))
     maxs = (vmax(0), vmax(1), vmax(2))
     inv_cell = sg(1.0 / (misc.radius * 2.0))
 
     (pcx, pcy, pcz), _ = _cells_of(
-        psrc[:, 0], psrc[:, 1], psrc[:, 2], mins, inv_cell, pv
+        psrc[0], psrc[1], psrc[2], mins, inv_cell, pv
     )
     prow_id = pcz * GRID_XY + pcy
     pkey = jnp.where(pv, prow_id, _KEY_SENT)
@@ -270,35 +350,35 @@ def merge_stage_pallas(
     # Bake the kernel photon table [PF, photon_cap]:
     # 0-2 pos | 3-5 in_dir | 6-8 throughput | 9 d_vcm | 10 d_vm |
     # 11 continuation prob | 12 path length | 13-15 pad.
-    p_in = V3(prows[:, 3], prows[:, 4], prows[:, 5])
-    p_nrm = V3(prows[:, 6], prows[:, 7], prows[:, 8])
-    p_mat = _f2i(prows[:, 14])
+    p_in = V3(prows[3], prows[4], prows[5])
+    p_nrm = V3(prows[6], prows[7], prows[8])
+    p_mat = _f2i(prows[14])
     p_cont = bsdf_ops.setup(scene.materials, p_in, p_nrm, p_mat,
                             plive).cont_prob
     p_len = (psrc_idx // n_ph + 1).astype(jnp.float32)
     pm = lambda a: jnp.where(plive, a, 0.0)
     zp = jnp.zeros((photon_cap,), jnp.float32)
     ptab = jnp.stack([
-        jnp.where(plive, prows[:, 0], _PSENT),
-        jnp.where(plive, prows[:, 1], _PSENT),
-        jnp.where(plive, prows[:, 2], _PSENT),
-        pm(prows[:, 3]), pm(prows[:, 4]), pm(prows[:, 5]),
-        pm(prows[:, 9]), pm(prows[:, 10]), pm(prows[:, 11]),
-        pm(prows[:, 12]), pm(prows[:, 13]),
+        jnp.where(plive, prows[0], _PSENT),
+        jnp.where(plive, prows[1], _PSENT),
+        jnp.where(plive, prows[2], _PSENT),
+        pm(prows[3]), pm(prows[4]), pm(prows[5]),
+        pm(prows[9]), pm(prows[10]), pm(prows[11]),
+        pm(prows[12]), pm(prows[13]),
         pm(p_cont), pm(p_len), zp, zp, zp,
     ], axis=0)  # [PF, photon_cap]
 
     # ---- Queries: keys, compact + sort, bake. ----------------------------
-    qsrc = _source_payload(queries)
-    qv0 = qsrc[:, 15] > 0.0
+    qsrc = _source_planes(queries)
+    qv0 = qsrc[15] > 0.0
     (qcx0, qcy0, qcz0), (qsx0, qsy0, qsz0) = _cells_of(
-        qsrc[:, 0], qsrc[:, 1], qsrc[:, 2], mins, inv_cell, qv0
+        qsrc[0], qsrc[1], qsrc[2], mins, inv_cell, qv0
     )
     qkey_all = jnp.where(qv0, qcz0 * GRID_XY + qcy0, _KEY_SENT)
     qrows, qsrc_idx, n_q, ovf_q = _compact_sorted(qsrc, qkey_all, query_cap)
     qlive = jnp.arange(query_cap, dtype=jnp.int32) < n_q
 
-    qx, qy, qz = qrows[:, 0], qrows[:, 1], qrows[:, 2]
+    qx, qy, qz = qrows[0], qrows[1], qrows[2]
     # Bbox rejection (hashgrid.hxx:116-122) padded by the merge radius:
     # same-plane camera hits can sit f32-ULPs outside the tight photon
     # bbox and would silently lose ~2% of in-radius pairs (see the note in
@@ -314,9 +394,9 @@ def merge_stage_pallas(
         qx, qy, qz, mins, inv_cell, qlive
     )
 
-    q_in = V3(qrows[:, 3], qrows[:, 4], qrows[:, 5])
-    q_nrm = V3(qrows[:, 6], qrows[:, 7], qrows[:, 8])
-    q_mat = _f2i(qrows[:, 14])
+    q_in = V3(qrows[3], qrows[4], qrows[5])
+    q_nrm = V3(qrows[6], qrows[7], qrows[8])
+    q_mat = _f2i(qrows[14])
     b = bsdf_ops.setup(scene.materials, q_in, q_nrm, q_mat, qlive)
     diffuse = sg(scene.materials.diffuse[b.mat_id])
     phong = sg(scene.materials.phong[b.mat_id])
@@ -327,16 +407,17 @@ def merge_stage_pallas(
 
     qm = lambda a: jnp.where(qlive, a, 0.0)
     zq = jnp.zeros((query_cap,), jnp.float32)
-    # Baked query rows [query_cap, QF]: 0-2 pos | 3-11 frame x/y/z |
-    # 12 local_dir_fix.z | 13-15 refl_fix | 16 prob_diff | 17 prob_phong |
-    # 18 cont | 19 d_vcm | 20 d_vm | 21-23 diffuse/pi | 24-26 phong rho |
-    # 27 exponent | 28 path length | 29-31 throughput.
+    # Baked query fields (planar, then tiled-transposed — see below):
+    # 0-2 pos | 3-11 frame x/y/z | 12 local_dir_fix.z | 13-15 refl_fix |
+    # 16 prob_diff | 17 prob_phong | 18 cont | 19 d_vcm | 20 d_vm |
+    # 21-23 diffuse/pi | 24-26 phong rho | 27 exponent | 28 path length |
+    # 29-31 throughput.
     # Out-of-bbox queries get the sentinel too: the reference skips them
     # before probing (hashgrid.hxx:116-122), but the dense tile evaluates
     # every resident query against slabs its tile-mates requested — the
     # sentinel keeps those lanes out of radius, matching the reference.
     q_on = qlive & in_bbox
-    qtab = jnp.stack([
+    qtab_planar = jnp.stack([
         jnp.where(q_on, qx, _QSENT),
         jnp.where(q_on, qy, _QSENT),
         jnp.where(q_on, qz, _QSENT),
@@ -351,13 +432,18 @@ def merge_stage_pallas(
         jnp.where(qlive & b.valid, b.prob_diff, 0.0),
         jnp.where(qlive & b.valid, b.prob_phong, 0.0),
         qm(b.cont_prob),
-        qm(qrows[:, 12]), qm(qrows[:, 13]),
+        qm(qrows[12]), qm(qrows[13]),
         qm(diffuse.x * INV_PI_F), qm(diffuse.y * INV_PI_F),
         qm(diffuse.z * INV_PI_F),
         qm(phong.x * rho_s), qm(phong.y * rho_s), qm(phong.z * rho_s),
         qm(expo), qm(q_len),
-        qm(qrows[:, 9]), qm(qrows[:, 10]), qm(qrows[:, 11]),
-    ], axis=1)
+        qm(qrows[9]), qm(qrows[10]), qm(qrows[11]),
+    ], axis=0)  # [QF, query_cap]; axis=0 stack is ~free (planar)
+    # Kernel tile layout [n_tiles, QTILE, QF]: a direct [QF, cap] ->
+    # [cap, QF] transpose costs SECONDS on the v5e, but the tiled
+    # reshape-transpose is free (~0 ms measured) — same data, laid out so
+    # each grid step reads one (QTILE, QF) VMEM block.
+    qtab = qtab_planar.reshape(QF, n_tiles, QTILE).transpose(1, 2, 0)
 
     # ---- Per-tile photon intervals: 9 canonical row classes. -------------
     t = lambda a: a.reshape((n_tiles, QTILE))
@@ -406,96 +492,145 @@ def merge_stage_pallas(
     ghi = jnp.stack(ghi_l, axis=1)
     glen = jnp.where(glo >= (1 << 30), 0, jnp.maximum(ghi - glo, 0))
 
-    # ---- Flatten to the (tile, slab) work list. --------------------------
-    glen_f = glen.reshape((-1,))                       # [n_tiles * 9]
-    glo_f = jnp.where(glen_f > 0, glo.reshape((-1,)), 0)
-    offs = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(glen_f)[:-1].astype(jnp.int32),
-    ])
-    total_work = offs[-1] + glen_f[-1]
+    # ---- Per-tile runs table (col layout: see RUNCOLS note above). -------
+    total_work = jnp.minimum(jnp.sum(glen), jnp.int32(1 << 24))
+    stats = jnp.stack([total_work * SLAB, n_p, n_q])
+    overflow = ovf_p + ovf_q
     if measure_only:
-        stats = jnp.stack([
-            jnp.minimum(total_work, jnp.int32(1 << 24)) * SLAB, n_p, n_q,
-        ])
-        return None, ovf_p + ovf_q, stats
-    ovf_w = jnp.maximum(total_work - work_cap, 0)
+        return None, None, n_q, overflow, stats
 
-    seg_head = jnp.zeros((work_cap,), jnp.int32).at[offs].max(
-        jnp.where(
-            glen_f > 0, jnp.arange(glen_f.shape[0], dtype=jnp.int32), 0
+    glo_c = jnp.clip(jnp.where(glen > 0, glo, 0), 0, n_slabs - 1)
+    cums = jnp.cumsum(glen, axis=1).astype(jnp.int32)   # [n_tiles, 9]
+    cols = [cums[:, 8:9]]                               # col 0 = total
+    for j in range(9):
+        cols.append(glo_c[:, j:j + 1])
+        cols.append(cums[:, j:j + 1])
+    cols.append(jnp.zeros((n_tiles, RUNCOLS - 19), jnp.int32))
+    runs_tbl = jnp.concatenate(cols, axis=1)            # [n_tiles, RUNCOLS]
+
+    # NOTE: the (r^2, mis_vc_weight) scalar operand is NOT built here.
+    # As a (1, 4) jit output XLA gives it a nonstandard ((1,128)) tile
+    # layout, and the kernel executable (compiled for standard tiling)
+    # faults with INVALID_ARGUMENT when fed that buffer on the tunneled
+    # runtime. Drivers build scal host-side (make_scal) so it always has
+    # the default tiling of a fresh device array.
+    return (qtab, runs_tbl, ptab), q_path, n_q, overflow, stats
+
+
+def run_tile_kernel(
+    scal, qtab, runs_tbl, ptab, *,
+    max_path_length: int, min_path_length: int, ppm: bool,
+    interpret: bool = False,
+):
+    """The bare Mosaic kernel over pre-baked tables -> [query_cap, 8].
+
+    Kept free of surrounding XLA work on purpose: this exact program
+    re-executes reliably on the tunneled runtime (see merge_prep's note).
+    """
+    n_tiles = qtab.shape[0]
+    query_cap = n_tiles * QTILE
+    photon_cap = ptab.shape[1]
+    return pl.pallas_call(
+        functools.partial(
+            _tile_kernel, max_path_length=max_path_length,
+            min_path_length=min_path_length, ppm=ppm,
         ),
-        mode="drop",
-    )
-    seg = jax.lax.cummax(seg_head)
-    iota = jnp.arange(work_cap, dtype=jnp.int32)
-    rank = iota - offs[seg]
-    w_ok = (iota < total_work) & (rank >= 0) & (rank < glen_f[seg])
-    work_slab = jnp.where(
-        w_ok, jnp.clip(glo_f[seg] + rank, 0, n_slabs - 1), 0
-    )
-    work_tile = jnp.where(w_ok, seg // 9, n_tiles)     # dummy tile if dead
-    prev_tile = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), work_tile[:-1]]
-    )
-    work_first = (work_tile != prev_tile).astype(jnp.int32)
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, QTILE, QF), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # runs table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # photon tab (HBM)
+        ],
+        out_specs=pl.BlockSpec((8, QTILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_tiles * QTILE), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((RUNCOLS,), jnp.int32),
+            pltpu.VMEM((2, PF, SLAB), jnp.float32),
+            pltpu.VMEM((QTILE, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        # Shape-qualified name: the tunneled backend's program cache has
+        # been observed to confuse same-named Mosaic kernels compiled at
+        # different shapes (second executable faults on re-execution).
+        name=f"merge_tiles_{photon_cap}_{query_cap}_{int(ppm)}",
+        interpret=interpret,
+    )(scal, qtab, runs_tbl, ptab)
 
-    # ---- Kernel launch. --------------------------------------------------
-    qtab_pad = jnp.concatenate(
-        [qtab, jnp.full((QTILE, QF), _QSENT, jnp.float32)], axis=0
+
+# Jitted flavor for the split-executable production path: the kernel is
+# the ENTIRE program.
+run_tile_kernel_jit = jax.jit(
+    run_tile_kernel,
+    static_argnames=("max_path_length", "min_path_length", "ppm",
+                     "interpret"),
+)
+
+def merge_post(out, qtab, q_path, n_q, vm_normalization, n_paths: int):
+    """Scale kernel output by camera throughput + vm normalization and
+    scatter-add to the owning path -> color_add V3 [n_paths].
+
+    ``out`` is channel-major [8, query_cap]; ``qtab`` is tile-shaped
+    [n_tiles, QTILE, QF]."""
+    # Tiles with no work write zeros, so no visited mask is needed; dead
+    # query rows carry the position sentinel and can never pass the r^2
+    # test, so their lanes are zero too. Work planar (per-channel [cap]).
+    query_cap = out.shape[1]
+    qlive = jnp.arange(query_cap, dtype=jnp.int32) < n_q
+    pdst = jnp.where(qlive, q_path, n_paths)
+    z = jnp.zeros((n_paths,), jnp.float32)
+
+    def channel(c):
+        acc = out[c] * qtab[:, :, 29 + c].reshape(query_cap)
+        return z.at[pdst].add(acc * vm_normalization, mode="drop")
+
+    return V3(channel(0), channel(1), channel(2))
+
+
+def make_scal(radius_sqr, mis_vc_weight):
+    """The kernel's [1, 4] SMEM scalar operand, as a FRESH device array
+    (default tiling — see merge_prep's note). Host floats in, device out."""
+    return jnp.asarray(
+        [[radius_sqr, mis_vc_weight, 0.0, 0.0]], jnp.float32
     )
+
+
+def merge_stage_pallas(
+    scene, misc, queries, light_verts, work_cap: int, ppm: bool,
+    max_path_length: int, min_path_length: int,
+    photon_cap: int, query_cap: int, n_paths: int,
+    interpret: bool = False, measure_only: bool = False,
+):
+    """Single-trace wrapper (prep + kernel + post in one program) with the
+    historical contract: (color_add V3 [n_paths], overflow, stats[3]).
+
+    ``work_cap`` is accepted for driver compatibility but UNUSED: per-tile
+    slab work is data-dependent inside the kernel, so only the
+    photon/query compaction caps can overflow. Use this wrapper for tests
+    and interpreter-mode runs; production on the tunneled TPU runtime uses
+    the split merge_prep / run_tile_kernel_jit / merge_post executables
+    (see merge_prep's fault note).
+    """
+    prep, q_path, n_q, overflow, stats = merge_prep(
+        scene, misc, queries, light_verts, photon_cap, query_cap,
+        n_paths, measure_only=measure_only,
+    )
+    if measure_only:
+        return None, overflow, stats
     scal = jnp.stack([
         misc.radius_sqr.astype(jnp.float32),
         jnp.asarray(misc.mis_vc_weight, jnp.float32),
         jnp.float32(0.0), jnp.float32(0.0),
     ]).reshape(1, 4)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(work_cap,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda w, wt, ws, wf: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((QTILE, QF), lambda w, wt, ws, wf: (wt[w], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PF, SLAB), lambda w, wt, ws, wf: (0, ws[w]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (QTILE, 8), lambda w, wt, ws, wf: (wt[w], 0),
-            memory_space=pltpu.VMEM,
-        ),
+    out = run_tile_kernel(
+        scal, *prep, max_path_length=max_path_length,
+        min_path_length=min_path_length, ppm=ppm, interpret=interpret,
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, max_path_length=max_path_length,
-            min_path_length=min_path_length, ppm=ppm,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(((n_tiles + 1) * QTILE, 8),
-                                       jnp.float32),
-        # Shape-qualified name: the tunneled backend's program cache has
-        # been observed to confuse same-named Mosaic kernels compiled at
-        # different shapes (second executable faults on re-execution).
-        name=f"merge_dense_{photon_cap}_{query_cap}_{work_cap}_{int(ppm)}",
-        interpret=interpret,
-    )(work_tile, work_slab, work_first, scal, qtab_pad, ptab)
-
-    # ---- Unvisited tiles hold garbage; mask, scale, route to paths. ------
-    visited = jnp.sum(glen, axis=1) > 0                # [n_tiles]
-    vmask = jnp.repeat(visited, QTILE)
-    acc = jnp.where(vmask[:, None], out[: n_tiles * QTILE, :3], 0.0)
-    acc = acc * qtab[:, 29:32] * misc.vm_normalization
-
-    pdst = jnp.where(qlive & vmask, q_path, n)
-    z = jnp.zeros((n,), jnp.float32)
-    color_add = V3(
-        z.at[pdst].add(acc[:, 0], mode="drop"),
-        z.at[pdst].add(acc[:, 1], mode="drop"),
-        z.at[pdst].add(acc[:, 2], mode="drop"),
+    color_add = merge_post(
+        out, prep[0], q_path, n_q, misc.vm_normalization, n_paths
     )
-    overflow = ovf_p + ovf_q + ovf_w
-    stats = jnp.stack([
-        jnp.minimum(total_work, jnp.int32(1 << 24)) * SLAB, n_p, n_q,
-    ])
     return color_add, overflow, stats

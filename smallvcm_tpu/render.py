@@ -1,20 +1,43 @@
-"""Renderer driver: algorithm registry, iteration loop, time budget.
+"""Renderer driver: algorithm registry, block loop, cap sizing, time budget.
 
 Replaces the reference's ``CreateRenderer`` factory (config.hxx:112-143) and
-``render()`` execution loop (smallvcm.cxx:52-151). The reference parallelizes
-by cloning one renderer per OpenMP thread and averaging their framebuffers;
-here one jitted wavefront iteration already saturates the chip, so the
-progressive loop just accumulates iterations (optionally sharded across a
-device mesh — see parallel/sharding.py).
+``render()`` execution loop (smallvcm.cxx:52-151). The reference
+parallelizes by cloning one renderer per OpenMP thread and averaging their
+framebuffers; here one jitted wavefront iteration already saturates the
+chip, so the progressive loop accumulates iterations — batched ``block``
+iterations per executable, because the tunneled TPU backend costs ~40 ms
+per dispatch round-trip and a per-iteration host sync would dominate.
+
+Round-3 driver design (all measured on the axon-tunneled v5e):
+
+* Iteration batching: merging/simple algorithms run ``block`` (default 8)
+  iterations per dispatch via vcm.render_block_with_stats / _simple_block;
+  the only host sync is one scalar fetch per block.
+* Measure-first cap sizing: merging algorithms size the photon/query
+  (+XLA pair) caps from a cheap measurement program at iteration 0 (the
+  largest merge radius bounds later demand), instead of discovering caps
+  by render-retry (which double-compiled iteration 0 through a
+  minutes-long remote-compile service). Sized caps persist in a JSON
+  sidecar so later processes skip even the measurement.
+* Split Pallas path: the Mosaic merge kernel must live in its OWN
+  executable (a combined XLA-prep+kernel program faults on re-execution
+  on this runtime — see ops/pallas_merge.py::merge_prep), so the pallas
+  backend runs trace -> prep -> kernel -> post as four async dispatches
+  per iteration with one sync per block.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .algorithms import eyelight, pathtracer, vcm
@@ -42,6 +65,8 @@ _VCM_FLAGS = {
     "vcm": (True, True, False, False),
 }
 
+DEFAULT_BLOCK = 8
+
 
 @dataclass
 class RenderConfig:
@@ -60,18 +85,18 @@ class RenderConfig:
     pair_factor: float = 24.0
     photon_factor: float = 3.0
     query_factor: float = 3.0
-    # photon-merge backend: "pallas" = dense-slab kernel (TPU only),
-    # "xla" = pair expansion (portable, differentiable), "auto" = pallas
-    # on single-device TPU, xla otherwise. Default stays "xla": the
-    # tunneled TPU runtime still faults re-executing the Mosaic kernel in
-    # byte-pattern-dependent ways (see _render_iteration_pallas).
-    merge_backend: str = "xla"
-    # One Mosaic kernel shape per process: the tunneled TPU runtime has
-    # been observed to fault re-executing a Mosaic-bearing executable once
-    # a second shape variant of the kernel exists in the process, so the
-    # pallas driver measures the merge workload with an XLA-only dry run,
-    # freezes all caps, compiles the kernel once, and never re-buckets.
+    # photon-merge backend: "pallas" = dense-slab Mosaic kernel (TPU only,
+    # split executables), "xla" = pair expansion (portable,
+    # differentiable), "auto" = pallas on single-device TPU, xla
+    # otherwise. "pallas_interpret" runs the kernel in interpreter mode
+    # (tests).
+    merge_backend: str = "auto"
+    # Caps frozen = sized by measurement/cache; the block loop still grows
+    # them (and re-renders the block) on the rare overflow.
     merge_caps_frozen: bool = False
+    # iterations per executable dispatch (0 = auto: 8, or 1 when the run
+    # is shorter). Any block partition is bit-exact vs per-iteration.
+    block_size: int = 0
     # multi-device execution (None => single device)
     mesh: Optional[object] = None
 
@@ -95,66 +120,6 @@ def resolve_algorithm(scene: SceneData, algorithm: str) -> str:
     return algorithm
 
 
-def render_single_iteration(
-    scene: SceneData, cfg: RenderConfig, iteration: int
-) -> jnp.ndarray:
-    """Dispatch one iteration of the configured algorithm.
-
-    Merging algorithms auto-size the pair capacity: if the static cap
-    overflows (scene-dependent photon concentration), the iteration is
-    re-rendered with a doubled cap — exact because the counter-based RNG
-    makes iterations deterministic. The grown cap sticks on the config
-    (the merge radius only shrinks with iteration, so it stays sufficient).
-    """
-    res_x, res_y = cfg.resolution
-    alg = resolve_algorithm(scene, cfg.algorithm)
-    if alg in ("el", "pt"):
-        if cfg.mesh is not None:
-            from .parallel.sharding import sharded_simple_iteration
-
-            return sharded_simple_iteration(
-                cfg.mesh, alg, scene, iteration, res_x, res_y,
-                cfg.base_seed, cfg.max_path_length, cfg.min_path_length,
-                cfg.rng_kind,
-            )
-        if alg == "el":
-            return eyelight.render_iteration(
-                scene, iteration, res_x, res_y, cfg.base_seed,
-                rng_kind=cfg.rng_kind,
-            )
-        return pathtracer.render_iteration(
-            scene, iteration, res_x, res_y, cfg.base_seed,
-            cfg.max_path_length, cfg.min_path_length,
-            rng_kind=cfg.rng_kind,
-        )
-    use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
-    n = res_x * res_y
-    backend = cfg.merge_backend
-    if backend == "auto":
-        import jax
-        # The dense-slab kernel wins from ~512^2 up (439 vs 646 ms/iter at
-        # 512^2, and the gap grows with resolution); below that the XLA
-        # pair expansion is already cheap and not worth a Mosaic program.
-        backend = (
-            "pallas"
-            if jax.default_backend() == "tpu" and cfg.mesh is None
-            and n >= 512 * 512
-            else "xla"
-        )
-    if backend.startswith("pallas") and use_vm:
-        if cfg.mesh is None:
-            return _render_iteration_pallas(
-                scene, cfg, iteration, use_vc, ppm, backend
-            )
-        # The dense-slab kernel is single-device only (one Mosaic shape per
-        # process, see _render_iteration_pallas); sharded runs use the
-        # portable XLA merge.
-        backend = "xla"
-    return _render_iteration_xla(
-        scene, cfg, iteration, use_vc, use_vm, lt_only, ppm, backend
-    )
-
-
 def _bucket(needed: float, n: int) -> float:
     """Smallest m*2^e >= needed with mantissa m in {4,5,6,7}, as a factor
     of n (so the jit static cap args repeat exactly). The ~1.25x ladder
@@ -168,232 +133,478 @@ def _bucket(needed: float, n: int) -> float:
     return float(8 << e) / n
 
 
-def _render_iteration_pallas(
-    scene: SceneData, cfg: RenderConfig, iteration: int,
-    use_vc: bool, ppm: bool, backend: str,
-):
-    """Merging iteration via the Pallas dense-slab kernel.
+def _resolve_backend(cfg: RenderConfig, use_vm: bool) -> str:
+    """Resolve merge_backend 'auto' (vm algorithms only).
 
-    The iteration runs as two executables (vcm.trace_iteration +
-    vcm.merge_finish_iteration). The tunneled TPU runtime has been observed
-    to fault when RE-executing a Mosaic-bearing executable once a second
-    shape variant of the kernel exists in the process (deterministically,
-    but dependent on program bytes — byte-identical-semantics variants
-    differ), so this driver holds ONE kernel shape per process: before the
-    first merge compile it measures the exact work-list demand with an
-    XLA-only dry run (the prep half of the kernel), freezes all caps with
-    margin, and never re-buckets. Iteration 0 has the largest merge radius
-    (vertexcm.hxx:294-299), so its measured demand bounds every later
-    iteration; if a cap still overflows, that iteration falls back to the
-    XLA merge over the same traced sub-paths — exact, no new kernel shape.
+    'auto' resolves to XLA: the tunneled TPU runtime in this environment
+    corrupts its session nondeterministically when large buffers cross
+    executable boundaries around a Mosaic kernel (INVALID_ARGUMENT on a
+    later big-program execution; root-caused triggers included permuted
+    physical layouts and nonstandard tile layouts on handoff buffers —
+    scripts/repro_mosaic_fault.py — but a residual nondeterministic
+    fault remains after fixing those). The dense-slab kernel stays fully
+    implemented and opt-in via --merge-backend pallas; the XLA merge is
+    exact on every backend and, with the round-3 planar layout + block
+    batching, fast enough to be the honest default.
     """
+    backend = cfg.merge_backend
+    if not use_vm:
+        return "xla"
+    if backend == "auto":
+        backend = "xla"
+    if backend.startswith("pallas") and cfg.mesh is not None:
+        backend = "xla"  # kernel is single-device only
+    return backend
+
+
+# ---------------------------------------------------------------------------
+# Merge-cap sizing: measure once, persist, reuse.
+# ---------------------------------------------------------------------------
+
+
+def _caps_cache_file() -> Path:
+    root = os.environ.get("SMALLVCM_TPU_CACHE",
+                          os.path.expanduser("~/.cache/smallvcm_tpu"))
+    return Path(root) / "caps.json"
+
+
+def _caps_key(scene: SceneData, cfg: RenderConfig, alg: str,
+              backend: str) -> str:
+    res_x, res_y = cfg.resolution
+    n_tri = int(scene.tri_mat.shape[0])
+    n_sph = int(scene.sph_mat.shape[0])
+    n_lights = int(scene.lights.kind.shape[0])
+    return (
+        f"{alg}|{backend}|{res_x}x{res_y}|tri{n_tri}sph{n_sph}"
+        f"l{n_lights}|pl{cfg.max_path_length}-{cfg.min_path_length}"
+        f"|r{cfg.radius_factor}a{cfg.radius_alpha}"
+    )
+
+
+def _load_cached_caps(key: str):
+    try:
+        data = json.loads(_caps_cache_file().read_text())
+        return data.get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _save_cached_caps(key: str, caps: dict) -> None:
+    path = _caps_cache_file()
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        data = {}
+    data[key] = caps
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(data, indent=1, sort_keys=True))
+    except OSError:
+        pass
+
+
+def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
+                       backend: str, use_vc: bool, ppm: bool) -> None:
+    """Freeze photon/query (+pair) caps before compiling merge programs.
+
+    Sizes from a persisted cache when available, else traces iteration 0
+    (largest merge radius, vertexcm.hxx:294-299 — its demand bounds every
+    later iteration) and measures demand exactly. Correctness never
+    depends on this: the block loop grows caps and re-renders on any
+    overflow; sizing here only avoids recompiles and padding waste.
+    """
+    if cfg.merge_caps_frozen:
+        return
+    key = _caps_key(scene, cfg, alg, backend)
+    cached = _load_cached_caps(key)
+    if cached:
+        cfg.pair_factor = cached["pair_factor"]
+        cfg.photon_factor = cached["photon_factor"]
+        cfg.query_factor = cached["query_factor"]
+        cfg.merge_caps_frozen = True
+        return
+
     res_x, res_y = cfg.resolution
     n = res_x * res_y
     traced = vcm.trace_iteration(
-        scene, iteration, res_x, res_y, cfg.base_seed,
-        cfg.max_path_length, cfg.min_path_length, cfg.radius_factor,
-        cfg.radius_alpha, use_vc, ppm, cfg.rng_kind,
+        scene, 0, res_x, res_y, cfg.base_seed, cfg.max_path_length,
+        cfg.min_path_length, cfg.radius_factor, cfg.radius_alpha,
+        use_vc, ppm, cfg.rng_kind,
     )
-
-    if not cfg.merge_caps_frozen:
-        # Dry-run measurement, growing the compaction caps on the (rare)
-        # overflow — these recompiles are XLA-only and safe.
+    if backend.startswith("pallas"):
+        # The pallas measure depends on the compaction caps; ladder them.
         while True:
             ovf, stats = vcm.merge_measure_iteration(
-                scene, iteration, traced, res_x, res_y,
+                scene, 0, traced, res_x, res_y,
                 cfg.radius_factor, cfg.radius_alpha,
                 cfg.max_path_length, cfg.min_path_length,
                 photon_factor=cfg.photon_factor,
                 query_factor=cfg.query_factor, ppm=ppm,
             )
-            work, n_ph, n_q = (int(v) for v in stats)
-            if int(ovf) == 0:
+            ovf_v = int(ovf)
+            _work, n_ph, n_q = (int(v) for v in np.asarray(stats))
+            if ovf_v == 0:
                 break
             cfg.photon_factor = max(
                 cfg.photon_factor, _bucket(n_ph * 1.2, n))
-            cfg.query_factor = max(cfg.query_factor, _bucket(n_q * 1.2, n))
-        # Right-size the compaction caps; the work demand depends on the
-        # query tiling (= query cap), so re-measure at the final caps.
-        want_ph = _bucket(n_ph * 1.15, n)
-        want_q = _bucket(n_q * 1.15, n)
-        if (want_ph, want_q) != (cfg.photon_factor, cfg.query_factor):
-            cfg.photon_factor, cfg.query_factor = want_ph, want_q
-            _, stats = vcm.merge_measure_iteration(
-                scene, iteration, traced, res_x, res_y,
-                cfg.radius_factor, cfg.radius_alpha,
-                cfg.max_path_length, cfg.min_path_length,
-                photon_factor=cfg.photon_factor,
-                query_factor=cfg.query_factor, ppm=ppm,
-            )
-            work = int(stats[0])
-        cfg.pair_factor = _bucket(work * 1.25, n)
-        cfg.merge_caps_frozen = True
-
-    fb, _rays, overflow, _stats = vcm.merge_finish_iteration(
-        scene, iteration, traced, res_x, res_y,
-        cfg.radius_factor, cfg.radius_alpha,
-        cfg.max_path_length, cfg.min_path_length,
-        use_vc=use_vc, ppm=ppm,
+            cfg.query_factor = max(
+                cfg.query_factor, _bucket(n_q * 1.2, n))
+        cfg.photon_factor = _bucket(n_ph * 1.15, n)
+        cfg.query_factor = _bucket(n_q * 1.15, n)
+    else:
+        demand = vcm.merge_demand_iteration(
+            scene, 0, traced, res_x, res_y, cfg.radius_factor,
+            cfg.radius_alpha,
+        )
+        pairs, n_ph, n_q = (int(v) for v in np.asarray(demand))
+        cfg.pair_factor = _bucket(pairs * 1.15, n)
+        cfg.photon_factor = _bucket(n_ph * 1.15, n)
+        cfg.query_factor = _bucket(n_q * 1.15, n)
+    cfg.merge_caps_frozen = True
+    _save_cached_caps(key, dict(
         pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
         query_factor=cfg.query_factor,
-        merge_chunks=1, merge_backend=backend,
-    )
-    if int(overflow) == 0:
-        return fb
-
-    # Frozen-cap overflow (possible only through unusual Monte Carlo
-    # wiggle): redo this iteration's merge with the XLA backend over the
-    # SAME traced sub-paths, growing local caps as needed. The frozen
-    # pallas caps are left untouched — no new kernel shape.
-    print(f"[smallvcm_tpu] pallas merge cap overflow at iteration "
-          f"{iteration}; falling back to the XLA merge for it", flush=True)
-    pf, phf, qf = cfg.pair_factor, cfg.photon_factor, cfg.query_factor
-    while True:
-        chunks = max(1, -(-int(pf * n) // (8 << 20)))
-        fb, _rays, overflow, stats = vcm.merge_finish_iteration(
-            scene, iteration, traced, res_x, res_y,
-            cfg.radius_factor, cfg.radius_alpha,
-            cfg.max_path_length, cfg.min_path_length,
-            use_vc=use_vc, ppm=ppm,
-            pair_factor=pf, photon_factor=phf, query_factor=qf,
-            merge_chunks=chunks, merge_backend="xla",
-        )
-        if int(overflow) == 0:
-            return fb
-        pairs, n_ph, n_q = (int(v) for v in stats)
-        pf = max(_bucket(pairs * 1.1, n), _bucket(pf * n * 1.26, n))
-        phf = max(phf, _bucket(n_ph * 1.1, n))
-        qf = max(qf, _bucket(n_q * 1.1, n))
+    ))
 
 
-def _render_iteration_xla(
-    scene: SceneData, cfg: RenderConfig, iteration: int,
-    use_vc: bool, use_vm: bool, lt_only: bool, ppm: bool, backend: str,
+# ---------------------------------------------------------------------------
+# Block runners. Each returns (image_sum, iterations_rendered).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=(
+    "alg", "res_x", "res_y", "base_seed", "max_path_length",
+    "min_path_length", "rng_kind", "block",
+))
+def _simple_block(
+    scene, start_iteration, alg: str, res_x: int, res_y: int,
+    base_seed: int, max_path_length: int, min_path_length: int,
+    rng_kind: str, block: int,
 ):
-    """One iteration via the single-executable (XLA-merge) path, with the
-    self-sizing cap ladder. With ``cfg.mesh`` set, paths are sharded over
-    the mesh (parallel/sharding.py) — the same ladder applies because the
-    stats come back psum-reduced."""
-    res_x, res_y = cfg.resolution
-    n = res_x * res_y
-    n_shard = n if cfg.mesh is None else n // cfg.mesh.devices.size
-    while True:
-        # Bound pair-level memory: split the merge into query chunks so the
-        # per-chunk candidate-pair cap stays near 8M rows regardless of the
-        # total (candidate pairs grow with photon density — quadratically in
-        # resolution at a fixed merge radius). Merge caps are per shard.
-        chunks = 1 if backend != "xla" else max(
-            1, int(-(-int(cfg.pair_factor * n_shard) // (8 << 20))))
-        if cfg.mesh is not None:
-            from .parallel.sharding import (
-                sharded_render_iteration_with_stats,
-            )
+    """``block`` el/pt iterations in one executable -> (sum image, lum)."""
 
-            fb, _rays, overflow, stats = sharded_render_iteration_with_stats(
-                cfg.mesh, scene, iteration, res_x, res_y, cfg.base_seed,
-                cfg.max_path_length, cfg.min_path_length,
-                cfg.radius_factor, cfg.radius_alpha,
-                use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
-                ppm=ppm,
-                pair_factor=cfg.pair_factor,
-                photon_factor=cfg.photon_factor,
-                query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
-                merge_chunks=chunks, merge_backend=backend,
+    def body(j, acc):
+        it = start_iteration + j
+        if alg == "el":
+            img = eyelight.render_iteration(
+                scene, it, res_x, res_y, base_seed, rng_kind=rng_kind
             )
         else:
-            fb, _rays, overflow, stats = vcm.render_iteration_with_stats(
-                scene, iteration, res_x, res_y, cfg.base_seed,
-                cfg.max_path_length, cfg.min_path_length,
-                cfg.radius_factor, cfg.radius_alpha,
-                use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
-                ppm=ppm,
-                pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
-                query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
-                merge_chunks=chunks, merge_backend=backend,
+            img = pathtracer.render_iteration(
+                scene, it, res_x, res_y, base_seed, max_path_length,
+                min_path_length, rng_kind=rng_kind,
             )
-        if not use_vm:
-            return fb
-        pairs, n_ph, n_q = (int(v) for v in stats)
+        return acc + img
 
-        # Right-size every cap from the measured counts (pair counts are
-        # exact unless the photon/query caps overflowed, in which case the
-        # ladder below grows monotonically anyway); a 10% margin covers
-        # per-iteration Monte Carlo wiggle. Shrinking a cap recompiles
-        # (~30-60 s on the tunneled backend) to save ~100 ms/iteration, so
-        # it amortizes only over long runs: the radius schedule shrinks
-        # pair counts like (i+1)^-0.25, so with a 2x-hysteresis shrink
-        # there are only ~log2 shrink recompiles over a whole run.
-        # Exception: shrink on any bucket drop after iterations 0 and 1
-        # (the 0->1 radius step drops pairs ~1.7x, measured) — but only
-        # when the run is long enough for the ~30-60 s recompile to pay
-        # back at ~100 ms/iteration (several hundred iterations).
-        long_run = cfg.iterations >= 300 or cfg.max_time >= 120
-        def want(needed: float, current: float) -> float:
-            b = _bucket(needed, n)
-            if b >= current:
-                return b          # growth is always applied (exactness)
-            hysteresis = 1.0 if (iteration <= 1 and long_run) else 2.0
-            return b if b * hysteresis <= current else current
-
-        want_pair = want(pairs * 1.1, cfg.pair_factor)
-        want_photon = want(n_ph * 1.1, cfg.photon_factor)
-        want_query = want(n_q * 1.1, cfg.query_factor)
-        if int(overflow) == 0:
-            cfg.pair_factor = want_pair
-            cfg.photon_factor = want_photon
-            cfg.query_factor = want_query
-            return fb
-        # Some photons/queries/pairs were dropped: grow each cap to its
-        # measured need (guaranteeing progress) and re-render this iteration
-        # exactly (the RNG is counter-based). A query/photon overflow can
-        # hide pairs, so pair growth must also be monotonic.
-        cfg.pair_factor = max(
-            want_pair, _bucket(cfg.pair_factor * n * 1.26, n))
-        cfg.photon_factor = max(cfg.photon_factor, want_photon)
-        cfg.query_factor = max(cfg.query_factor, want_query)
-        print(f"[smallvcm_tpu] merge cap overflow; retrying iteration "
-              f"{iteration} with pair_factor={cfg.pair_factor} "
-              f"photon_factor={cfg.photon_factor} "
-              f"query_factor={cfg.query_factor}", flush=True)
+    acc = jax.lax.fori_loop(
+        0, block, body, jnp.zeros((res_y, res_x, 3), jnp.float32)
+    )
+    return acc, jnp.sum(acc)
 
 
-def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False):
-    """Progressive render. Returns (image [resY,resX,3], seconds, iterations).
+def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
+    """Build run(start, k) -> image_sum for the resolved algorithm/backend.
+
+    The runner handles overflow-grow-retry internally (merging only) and
+    performs exactly one host sync per call.
+    """
+    res_x, res_y = cfg.resolution
+    n = res_x * res_y
+
+    if alg in ("el", "pt"):
+        if cfg.mesh is not None:
+            from .parallel.sharding import sharded_simple_iteration
+
+            def run_sharded_simple(start, k):
+                acc = jnp.zeros((res_y, res_x, 3), jnp.float32)
+                for j in range(k):
+                    acc = acc + sharded_simple_iteration(
+                        cfg.mesh, alg, scene, start + j, res_x, res_y,
+                        cfg.base_seed, cfg.max_path_length,
+                        cfg.min_path_length, cfg.rng_kind,
+                    )
+                jax.device_get(acc[0, 0])
+                return acc
+
+            return run_sharded_simple
+
+        def run_simple(start, k):
+            acc, lum = _simple_block(
+                scene, start, alg, res_x, res_y, cfg.base_seed,
+                cfg.max_path_length, cfg.min_path_length, cfg.rng_kind, k,
+            )
+            jax.device_get(lum)
+            return acc
+
+        return run_simple
+
+    use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
+    backend = _resolve_backend(cfg, use_vm)
+    if use_vm and cfg.mesh is None:
+        _ensure_merge_caps(scene, cfg, alg, backend, use_vc, ppm)
+
+    if backend.startswith("pallas") and use_vm:
+        return _make_pallas_runner(
+            scene, cfg, use_vc, ppm,
+            interpret=(backend == "pallas_interpret"),
+        )
+
+    caps_key = _caps_key(scene, cfg, alg, backend)
+
+    def run_xla(start, k):
+        while True:
+            # Chunk the merge only when pair arrays would exceed ~16M
+            # rows (~1.4 GB @ ~21 int32/row) — chunking costs a little
+            # and its uneven pair split needs slack (vcm.merge_stage).
+            chunks = 1 if not use_vm else max(
+                1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
+            if cfg.mesh is not None:
+                from .parallel.sharding import (
+                    sharded_render_iteration_with_stats,
+                )
+
+                acc = jnp.zeros((res_y, res_x, 3), jnp.float32)
+                ovf = jnp.zeros((), jnp.int32)
+                stats = jnp.zeros((3,), jnp.int32)
+                for j in range(k):
+                    fb, _r, o, st = sharded_render_iteration_with_stats(
+                        cfg.mesh, scene, start + j, res_x, res_y,
+                        cfg.base_seed, cfg.max_path_length,
+                        cfg.min_path_length, cfg.radius_factor,
+                        cfg.radius_alpha, use_vc=use_vc, use_vm=use_vm,
+                        light_trace_only=lt_only, ppm=ppm,
+                        pair_factor=cfg.pair_factor,
+                        photon_factor=cfg.photon_factor,
+                        query_factor=cfg.query_factor,
+                        rng_kind=cfg.rng_kind, merge_chunks=chunks,
+                        merge_backend="xla",
+                    )
+                    acc = acc + fb
+                    ovf = ovf + o
+                    stats = jnp.maximum(stats, st)
+            else:
+                acc, _rays, ovf, stats, _lum = vcm.render_block_with_stats(
+                    scene, start, res_x, res_y, k, cfg.base_seed,
+                    cfg.max_path_length, cfg.min_path_length,
+                    cfg.radius_factor, cfg.radius_alpha,
+                    use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only,
+                    ppm=ppm, pair_factor=cfg.pair_factor,
+                    photon_factor=cfg.photon_factor,
+                    query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
+                    merge_chunks=chunks, merge_backend="xla",
+                )
+            if not use_vm:
+                jax.device_get(ovf)
+                return acc
+            ovf_v, stats_v = jax.device_get((ovf, stats))
+            if int(ovf_v) == 0:
+                return acc
+            pairs, n_ph, n_q = (int(v) for v in stats_v)
+            n_shard = n if cfg.mesh is None else \
+                n // cfg.mesh.devices.size
+            # Grow every cap to measured need (monotonic: a photon/query
+            # overflow can hide pairs) and re-render the SAME block —
+            # exact, because the RNG is counter-based.
+            cfg.pair_factor = max(
+                _bucket(pairs * 1.1, n_shard),
+                _bucket(cfg.pair_factor * n_shard * 1.26, n_shard))
+            cfg.photon_factor = max(
+                cfg.photon_factor, _bucket(n_ph * 1.1, n_shard))
+            cfg.query_factor = max(
+                cfg.query_factor, _bucket(n_q * 1.1, n_shard))
+            if cfg.mesh is None:
+                _save_cached_caps(caps_key, dict(
+                    pair_factor=cfg.pair_factor,
+                    photon_factor=cfg.photon_factor,
+                    query_factor=cfg.query_factor,
+                ))
+            print(f"[smallvcm_tpu] merge cap overflow; re-rendering block "
+                  f"at iteration {start} with "
+                  f"pair_factor={cfg.pair_factor} "
+                  f"photon_factor={cfg.photon_factor} "
+                  f"query_factor={cfg.query_factor}", flush=True)
+
+    return run_xla
+
+
+def _make_pallas_runner(scene: SceneData, cfg: RenderConfig,
+                        use_vc: bool, ppm: bool, interpret: bool):
+    """trace -> prep -> kernel -> post, four executables per iteration,
+    one host sync per block (see module docstring)."""
+    from .ops.pallas_merge import make_scal, run_tile_kernel_jit
+
+    res_x, res_y = cfg.resolution
+    n = res_x * res_y
+
+    # Per-iteration (r^2, mis_vc_weight) for the kernel's host-built scal
+    # operand, fetched ONCE from a device computation so the kernel's
+    # radius matches the prep/post programs' f32 schedule exactly. The
+    # scal array must be host-built per call: as a jit OUTPUT it gets a
+    # nonstandard tile layout that faults the kernel (pallas_merge notes).
+    scal_tbl = {"rows": np.zeros((0, 2), np.float32)}
+
+    def scal_for(it: int):
+        rows = scal_tbl["rows"]
+        if it >= rows.shape[0]:
+            need = max(1024, 2 * (it + 1), cfg.iterations)
+            rows = np.asarray(vcm.misc_scal_table(
+                scene, need, n, cfg.radius_factor, cfg.radius_alpha,
+                use_vc,
+            ))
+            scal_tbl["rows"] = rows
+        return make_scal(float(rows[it, 0]), float(rows[it, 1]))
+
+    def run(start, k):
+        while True:
+            acc = jnp.zeros((res_y, res_x, 3), jnp.float32)
+            ovf = jnp.zeros((), jnp.int32)
+            lum = None
+            stats_l = []
+            for j in range(k):
+                it = start + j
+                scal = scal_for(it)
+                traced = vcm.trace_iteration(
+                    scene, it, res_x, res_y, cfg.base_seed,
+                    cfg.max_path_length, cfg.min_path_length,
+                    cfg.radius_factor, cfg.radius_alpha, use_vc, ppm,
+                    cfg.rng_kind,
+                )
+                prep, q_path, n_q, p_ovf, stats = vcm.merge_prep_iteration(
+                    scene, it, traced, res_x, res_y,
+                    cfg.radius_factor, cfg.radius_alpha,
+                    photon_factor=cfg.photon_factor,
+                    query_factor=cfg.query_factor,
+                )
+                kout = run_tile_kernel_jit(
+                    scal, *prep, max_path_length=cfg.max_path_length,
+                    min_path_length=cfg.min_path_length, ppm=ppm,
+                    interpret=interpret,
+                )
+                acc, ovf, _rays, lum = vcm.merge_post_iteration(
+                    scene, it, traced, kout, prep[0], q_path, n_q,
+                    acc, ovf, p_ovf, res_x, res_y,
+                    cfg.radius_factor, cfg.radius_alpha,
+                )
+                stats_l.append(stats)
+            ovf_v = int(jax.device_get(ovf))
+            if ovf_v == 0:
+                return acc
+            smax = np.max(np.stack(jax.device_get(stats_l)), axis=0)
+            _work, n_ph, n_q_v = (int(v) for v in smax)
+            cfg.photon_factor = max(
+                cfg.photon_factor, _bucket(n_ph * 1.15, n))
+            cfg.query_factor = max(
+                cfg.query_factor, _bucket(n_q_v * 1.15, n))
+            print(f"[smallvcm_tpu] pallas compaction overflow; "
+                  f"re-rendering block at iteration {start} with "
+                  f"photon_factor={cfg.photon_factor} "
+                  f"query_factor={cfg.query_factor}", flush=True)
+
+    return run
+
+
+def _maybe_inject_test_fault(done: int) -> None:
+    """Test hook for the isolate.py supervisor (tests/test_isolate.py).
+
+    With SMALLVCM_TEST_FAULT_AT=k set, raises a runtime-fault-shaped
+    error once ``done`` reaches k — at most SMALLVCM_TEST_FAULT_TIMES
+    times across processes, counted in the SMALLVCM_TEST_FAULT_COUNTER
+    file — so a supervised run faults, respawns from its checkpoint, and
+    must still produce the byte-identical image.
+    """
+    at = os.environ.get("SMALLVCM_TEST_FAULT_AT")
+    if not at or done < int(at):
+        return
+    times = int(os.environ.get("SMALLVCM_TEST_FAULT_TIMES", "1"))
+    path = os.environ.get("SMALLVCM_TEST_FAULT_COUNTER")
+    count = 0
+    if path and os.path.exists(path):
+        count = int(Path(path).read_text() or 0)
+    if count >= times:
+        return
+    if path:
+        Path(path).write_text(str(count + 1))
+    raise RuntimeError(
+        "injected INVALID_ARGUMENT: TPU backend error (test fault)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def render_single_iteration(
+    scene: SceneData, cfg: RenderConfig, iteration: int
+) -> jnp.ndarray:
+    """One iteration through the production block machinery (block = 1).
+
+    Kept for tests/benches and the sharded path; production rendering goes
+    through :func:`render`, which batches iterations.
+    """
+    alg = resolve_algorithm(scene, cfg.algorithm)
+    runner = _make_block_runner(scene, cfg, alg)
+    return runner(iteration, 1)
+
+
+def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
+           accum=None, start_iter: int = 0, block_cb=None):
+    """Progressive render. Returns (image [resY,resX,3], seconds, iters).
 
     Like smallvcm.cxx:52-151: -t (max_time) takes precedence over -i; the
-    returned image is the average over completed iterations. With
-    ``verbose``, prints per-iteration metrics (total luminance and
-    iteration wall time — the observability surface the reference defines
-    but never calls, framebuffer.hxx:89-102).
+    returned image is the average over completed iterations. ``accum`` /
+    ``start_iter`` resume a previous accumulation (checkpoint.py);
+    ``block_cb(accum, iterations_done)`` fires after every completed
+    block (the checkpoint hook). With ``verbose``, prints per-block
+    metrics (mean luminance + wall time — the observability surface the
+    reference defines but never calls, framebuffer.hxx:89-102).
     """
     from .io.framebuffer import total_luminance
 
     res_x, res_y = cfg.resolution
-    accum = jnp.zeros((res_y, res_x, 3), jnp.float32)
+    alg = resolve_algorithm(scene, cfg.algorithm)
+    runner = _make_block_runner(scene, cfg, alg)
 
-    def step(it, accum):
+    accum = (jnp.zeros((res_y, res_x, 3), jnp.float32)
+             if accum is None else accum)
+    done = start_iter
+    auto_block = cfg.block_size or DEFAULT_BLOCK
+
+    def step(k):
+        nonlocal accum, done
         t0 = time.time()
-        accum = accum + render_single_iteration(scene, cfg, it)
+        accum = accum + runner(done, k)
+        done += k
         if verbose:
-            lum = float(total_luminance(accum)) / (it + 1)
-            print(f"  iter {it}: luminance={lum:.1f} "
+            lum = float(total_luminance(accum)) / max(done, 1)
+            print(f"  iter {done - k}..{done - 1}: luminance={lum:.1f} "
                   f"dt={time.time() - t0:.3f}s", flush=True)
-        return accum
+        if block_cb is not None:
+            block_cb(accum, done)
+        _maybe_inject_test_fault(done)
 
     start = time.time()
-    iters_done = 0
     if cfg.max_time > 0:
+        # First two iterations run singly: they settle caps and give a
+        # per-iteration time estimate before committing to full blocks.
         while time.time() - start < cfg.max_time:
-            accum = step(iters_done, accum)
-            accum.block_until_ready()
-            iters_done += 1
+            rendered = done - start_iter
+            if rendered < 2:
+                step(1)
+                continue
+            dt_iter = (time.time() - start) / rendered
+            left = cfg.max_time - (time.time() - start)
+            k = max(1, min(auto_block, int(left / max(dt_iter, 1e-6))))
+            step(k)
     else:
-        for it in range(cfg.iterations):
-            accum = step(it, accum)
-            iters_done += 1
-        accum.block_until_ready()
+        target = cfg.iterations
+        while done < target:
+            k = auto_block if target - done >= auto_block else 1
+            step(k)
     elapsed = time.time() - start
 
-    if iters_done > 0:
-        accum = accum / iters_done
-    return accum, elapsed, iters_done
+    # ``done`` counts ALL accumulated iterations (including a resumed
+    # prefix), which is also the averaging divisor; with start_iter == 0
+    # it equals the iterations rendered by this call.
+    img = accum / done if done > 0 else accum
+    return img, elapsed, done

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Persistent compilation cache: re-runs of the suite skip XLA compiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Merge-cap sizing sidecar: keep tests away from the user's cache (and
+# from each other's stale entries — the key spans alg/res/radius).
+os.environ["SMALLVCM_TPU_CACHE"] = "/tmp/smallvcm_test_caps"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 

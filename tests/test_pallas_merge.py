@@ -101,7 +101,10 @@ def test_driver_split_pallas_path_matches_xla():
     )
 
 
-def test_pallas_merge_work_overflow_reported():
+def test_pallas_merge_compaction_overflow_reported():
+    """Per-tile slab work is unbounded by design (no work cap), but the
+    photon/query compaction caps still report overflow so the driver can
+    grow them and retry."""
     res = 8
     n = res * res
     scene = load_cornell_box((res, res), SCENE_CONFIGS[1])
@@ -112,9 +115,9 @@ def test_pallas_merge_work_overflow_reported():
     queries = _random_vertices(kq, 4, n, 0.0, span, 9)
     light_verts = _random_vertices(kp, 5, n, 0.0, span, 9)
     _, overflow, stats = merge_stage_pallas(
-        scene, misc, queries, light_verts, work_cap=2, ppm=False,
+        scene, misc, queries, light_verts, work_cap=0, ppm=False,
         max_path_length=9, min_path_length=0,
-        photon_cap=384, query_cap=256, n_paths=n, interpret=True,
+        photon_cap=128, query_cap=128, n_paths=n, interpret=True,
     )
     assert int(overflow) > 0
-    assert int(stats[0]) > 2 * 128
+    assert int(stats[0]) > 0
