@@ -65,7 +65,7 @@ def apply_params(scene: SceneData, params: Params) -> SceneData:
     jax.jit,
     static_argnames=(
         "algorithm", "res_x", "res_y", "base_seed", "max_path_length",
-        "min_path_length", "pair_factor",
+        "min_path_length", "pair_factor", "photon_factor", "query_factor",
     ),
 )
 def render_params(
@@ -81,8 +81,15 @@ def render_params(
     radius_factor: float = 0.003,
     radius_alpha: float = 0.75,
     pair_factor: float = 24.0,
+    photon_factor: float = 3.0,
+    query_factor: float = 3.0,
 ) -> jnp.ndarray:
-    """One iteration of the given algorithm with params substituted."""
+    """One iteration of the given algorithm with params substituted.
+
+    The merge caps (pair/photon/query factors) are exposed so inverse
+    rendering at larger resolutions can use driver-sized caps (see
+    render.py's measure-first sizing) instead of the defaults.
+    """
     from .algorithms import pathtracer, vcm
     from .render import _VCM_FLAGS
 
@@ -97,7 +104,8 @@ def render_params(
         s, iteration, res_x, res_y, base_seed, max_path_length,
         min_path_length, radius_factor, radius_alpha,
         use_vc=use_vc, use_vm=use_vm, light_trace_only=lt_only, ppm=ppm,
-        pair_factor=pair_factor,
+        pair_factor=pair_factor, photon_factor=photon_factor,
+        query_factor=query_factor,
     )
 
 
@@ -119,12 +127,25 @@ def loss_and_grad(
     """
 
     def loss_fn(p):
-        img = jnp.zeros((res_y, res_x, 3), jnp.float32)
-        for i in range(n_iterations):
-            img = img + render_params(
+        # lax.scan over iterations: the body is traced ONCE, so compile
+        # time is independent of n_iterations (the round-1/2 Python loop
+        # unrolled it — linear compile time through a minutes-per-program
+        # remote compile service). jax.checkpoint bounds reverse-mode
+        # memory to one iteration of residuals (recompute in backward).
+        @jax.checkpoint
+        def one(p, i):
+            return render_params(
                 scene, p, iteration * n_iterations + i, algorithm,
                 res_x, res_y, **kw,
             )
+
+        def body(acc, i):
+            return acc + one(p, i), None
+
+        img, _ = jax.lax.scan(
+            body, jnp.zeros((res_y, res_x, 3), jnp.float32),
+            jnp.arange(n_iterations),
+        )
         img = img / n_iterations
         return jnp.mean((img - target) ** 2)
 
