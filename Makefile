@@ -3,7 +3,7 @@
 # host-side C++ image codec, which io/native_codec.py otherwise builds on
 # first use).
 
-.PHONY: test bench report parity smoke native
+.PHONY: test test-fast bench report parity smoke native
 
 native:
 	g++ -O3 -shared -fPIC -o smallvcm_tpu/native/libsvcmcodec.so \
@@ -11,6 +11,14 @@ native:
 
 test:
 	python -m pytest tests/ -q
+
+# CI profile: skips the compile-heavy sharded/multihost/supervisor/AD-FD
+# tests (each slow test is a scaled-up flavor of coverage that also runs
+# fast: sharding equality also runs at 8-dev in the graft dryrun, grad
+# correctness also runs via the cheap pt FD check, the supervisor's units
+# are covered by checkpoint tests).
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

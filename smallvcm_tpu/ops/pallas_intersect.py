@@ -14,6 +14,18 @@ triangle test, same f32 stable sphere quadratic, same guards).
 Closest-hit only — occlusion tests reuse the same kernel via a tmax compare
 on the returned distance (cheaper than a dedicated any-hit on TPU since the
 sweep is compute-bound on the VPU either way).
+
+Status (round 3): validated-but-not-wired, deliberately. Embedding Mosaic
+kernels inside the large trace executables is exactly the configuration
+this environment's tunneled TPU runtime corrupts nondeterministically
+(INVALID_ARGUMENT on later executions; see the experiment ladder in
+scripts/repro_mosaic_fault.py and ops/pallas_merge.py::merge_prep), and
+the trace loop calls intersect ~20x per iteration — per-call executable
+splitting (the merge kernel's workaround) would cost ~20 x 40 ms dispatch
+round-trips, far more than the ~0.7 ms/call the kernel saves. On a
+directly-attached TPU this wires in trivially (swap ops/intersect.intersect
+for intersect_pallas in the bounce loops); here the XLA sweep is the
+right production choice.
 """
 
 from __future__ import annotations

@@ -16,7 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 # Persistent compilation cache: re-runs of the suite skip XLA compiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# MUST be a CPU-only cache dir: the tunneled TPU runtime's remote compile
+# service writes CPU AOT entries built for the SERVICE host's microarch
+# into its cache dir, and loading them locally trips
+# "machine feature +prefer-no-gather is not supported" dispatch errors
+# (observed to break the multihost test's Gloo rendezvous).
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
 # Merge-cap sizing sidecar: keep tests away from the user's cache (and
 # from each other's stale entries — the key spans alg/res/radius).
 os.environ["SMALLVCM_TPU_CACHE"] = "/tmp/smallvcm_test_caps"

@@ -47,7 +47,11 @@ class TestLightIntensityGradient:
     """The image is LINEAR in light intensity and intensity never affects
     sampling decisions => AD must equal FD essentially exactly (same seed)."""
 
-    @pytest.mark.parametrize("alg", ["pt", "bpt", "vcm"])
+    @pytest.mark.parametrize("alg", [
+        "pt",
+        pytest.param("bpt", marks=pytest.mark.slow),
+        pytest.param("vcm", marks=pytest.mark.slow),
+    ])
     def test_ad_equals_fd(self, scene, params, alg):
         def loss(p):
             return jnp.mean(_mean_image(scene, p, alg))

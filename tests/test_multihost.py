@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _WORKER = Path(__file__).with_name("_multihost_worker.py")
 _PORT = 12765
 

@@ -20,6 +20,8 @@ from smallvcm_tpu.parallel.sharding import make_mesh, sharded_render_iteration
 from smallvcm_tpu.render import RenderConfig, render_single_iteration
 from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
 
+pytestmark = pytest.mark.slow
+
 RES = 32
 MAXLEN = 4
 
