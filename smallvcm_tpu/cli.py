@@ -108,6 +108,20 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+    # Honor an explicit JAX_PLATFORMS even when a sitecustomize-registered
+    # backend plugin tramples it (this container's tunneled-TPU hook does:
+    # JAX_PLATFORMS=cpu in the env still yielded backend 'tpu'). Critical
+    # for CPU-only child processes (tests, supervisors) not to fight over
+    # the single tunneled chip.
+    want_platform = os.environ.get("JAX_PLATFORMS")
+    if want_platform and "," not in want_platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want_platform)
+        except Exception:
+            pass
+
     if args.report:
         from .report import full_report
 

@@ -568,7 +568,15 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
     accum = (jnp.zeros((res_y, res_x, 3), jnp.float32)
              if accum is None else accum)
     done = start_iter
-    auto_block = cfg.block_size or DEFAULT_BLOCK
+    # Auto block scales inversely with resolution: one dispatch should
+    # stay ~seconds of device time (the tunneled runtime kills workers on
+    # very long single executions — observed with 8-iteration blocks at
+    # 1024^2), and per-iteration work grows ~quadratically (paths x
+    # photon density at a fixed merge radius).
+    n_pix = res_x * res_y
+    auto_block = cfg.block_size or max(
+        1, min(DEFAULT_BLOCK, (DEFAULT_BLOCK * 512 * 512) // max(n_pix, 1))
+    )
 
     def step(k):
         nonlocal accum, done
