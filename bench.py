@@ -79,19 +79,20 @@ def bench_vcm(scene, res, n):
     from smallvcm_tpu import render as R
     from smallvcm_tpu.algorithms import vcm
 
-    cfg = R.RenderConfig(algorithm="vcm", resolution=(res, res),
-                         merge_backend="xla")
+    cfg = R.RenderConfig(algorithm="vcm", resolution=(res, res))
+    backend = R._resolve_backend(cfg, True)
     runner = R._make_block_runner(scene, cfg, "vcm")
     dt, _ = _steady_blocks(runner)
 
     # Per-iteration ray count + pair stats from one instrumented call at
-    # the driver's settled caps.
-    chunks = max(1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
+    # the driver's settled caps and resolved backend.
+    chunks = 1 if backend.startswith("pallas") else max(
+        1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
     _acc, rays, _ovf, stats, lum = vcm.render_block_with_stats(
         scene, 1, res, res, 1,
         pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
         query_factor=cfg.query_factor, merge_chunks=chunks,
-        merge_backend="xla",
+        merge_backend=backend,
     )
     float(lum)
     return dt, int(rays), int(np.asarray(stats)[0])
@@ -102,8 +103,7 @@ def bench_algorithm(alg, scene, res, n):
     seconds for one algorithm through the production driver."""
     from smallvcm_tpu import render as R
 
-    cfg = R.RenderConfig(algorithm=alg, resolution=(res, res),
-                         merge_backend="xla")
+    cfg = R.RenderConfig(algorithm=alg, resolution=(res, res))
     t0 = time.time()
     runner = R._make_block_runner(scene, cfg, alg)
     runner(0, BLOCK)

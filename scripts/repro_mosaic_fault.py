@@ -84,6 +84,33 @@ def run_smem(work_cap, reps=5):
               f"({time.time()-t0:.2f}s)", flush=True)
 
 
+
+def _prep_jit():
+    """Local split-phase prep jit (the production driver now runs the
+    merge FUSED inside one executable; this harness keeps the historical
+    split configuration alive for runtime-fault experiments)."""
+    import functools
+    import jax
+    from smallvcm_tpu.algorithms import vcm
+    from smallvcm_tpu.ops import pallas_merge as PM
+
+    @functools.partial(jax.jit, static_argnames=(
+        "res_x", "res_y", "photon_factor", "query_factor"))
+    def prep(scene, iteration, traced, res_x, res_y,
+             photon_factor=2.0, query_factor=4.0):
+        fb, color, queries, verts, sx, sy, rays = traced
+        n = res_x * res_y
+        misc = vcm.compute_misc(scene, iteration, n, 0.003, 0.75, True,
+                                True)
+        out = PM.merge_prep(
+            scene, misc, queries, verts,
+            ((int(photon_factor * n) + 127) // 128) * 128,
+            ((int(query_factor * n) + 127) // 128) * 128, n)
+        return out + (misc.radius_sqr, misc.mis_vc_weight,
+                      misc.vm_normalization)
+    return prep
+
+
 def run_merge(reps=30):
     sys.path.insert(0, ".")
     from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
@@ -107,7 +134,7 @@ def run_merge(reps=30):
         from smallvcm_tpu.ops.pallas_merge import (
             make_scal, run_tile_kernel_jit,
         )
-        tbl = np.asarray(vcm.misc_scal_table(scene, 8, n))
+        _PREP = _prep_jit()
 
         # Production split path: prep / kernel / post as separate
         # executables (a combined program faults on re-execution).
@@ -115,28 +142,21 @@ def run_merge(reps=30):
             t0 = time.time()
             acc = jnp.zeros((res, res, 3), jnp.float32)
             ovf0 = jnp.zeros((), jnp.int32)
-            prep, q_path, n_q, p_ovf, stats = vcm.merge_prep_iteration(
+            prep, q_path, n_q, p_ovf, stats, r2, vcw, vmn = _PREP(
                 scene, 0, traced, res, res,
                 photon_factor=2.0, query_factor=4.0)
             print(f"    prep ok: stats={list(np.asarray(stats))}",
                   flush=True)
             kout = run_tile_kernel_jit(
-                make_scal(float(tbl[0, 0]), float(tbl[0, 1])), *prep,
-                max_path_length=10, min_path_length=0, ppm=False)
+                make_scal(float(np.asarray(r2)), float(np.asarray(vcw))),
+                *prep, max_path_length=10, min_path_length=0, ppm=False)
             print(f"    kernel ok: {float(np.asarray(kout[0, 0]))}",
                   flush=True)
-            import os as _os
-            if _os.environ.get("REPRO_FAKE_KOUT"):
-                kout = jnp.zeros(kout.shape, kout.dtype)
-            if _os.environ.get("REPRO_FAKE_QPATH"):
-                q_path = jnp.zeros(q_path.shape, q_path.dtype)
-                n_q = jnp.zeros((), jnp.int32)
-            acc, ovf, rays, lum = vcm.merge_post_iteration(
-                scene, 0, traced, kout, prep[0], q_path, n_q,
-                acc, ovf0, p_ovf, res, res)
-            s = float(np.asarray(lum))
-            print(f"  scene {sid} exec {i}: lum={s:.2f} "
-                  f"ovf={int(np.asarray(ovf))} "
+            from smallvcm_tpu.ops.pallas_merge import merge_post
+            mc = merge_post(kout, prep[0], q_path, n_q, vmn, res * res)
+            s = float(np.asarray(mc.x).sum())
+            print(f"  scene {sid} exec {i}: merge_x={s:.2f} "
+                  f"ovf={int(np.asarray(p_ovf))} "
                   f"({time.time()-t0:.2f}s)", flush=True)
 
 
@@ -159,10 +179,10 @@ def run_prep_kernel(reps=10):
     use_prep_out = "--chain" in sys.argv
     from smallvcm_tpu.ops.pallas_merge import make_scal, run_tile_kernel_jit
     n = res * res
-    tbl = np.asarray(vcm.misc_scal_table(scene, 8, n))
-    scal0 = make_scal(float(tbl[0, 0]), float(tbl[0, 1]))
-    prep, q_path, n_q, p_ovf, stats = vcm.merge_prep_iteration(
+    _PREP = _prep_jit()
+    prep, q_path, n_q, p_ovf, stats, r2, vcw, vmn = _PREP(
         scene, 0, traced, res, res, photon_factor=2.0, query_factor=4.0)
+    scal0 = make_scal(float(np.asarray(r2)), float(np.asarray(vcw)))
     jax.block_until_ready(prep)
     if use_prep_out:
         qtab0, runs0, ptab0 = prep
@@ -174,7 +194,7 @@ def run_prep_kernel(reps=10):
 
     for i in range(reps):
         t0 = time.time()
-        prep, q_path, n_q, p_ovf, stats = vcm.merge_prep_iteration(
+        prep, q_path, n_q, p_ovf, stats, r2, vcw, vmn = _PREP(
             scene, 0, traced, res, res, photon_factor=2.0,
             query_factor=4.0)
         print(f"    prep {i} ok: {list(np.asarray(stats))}", flush=True)

@@ -1577,122 +1577,6 @@ def render_block_with_stats(
     return acc, rays, ovf, stats, jnp.sum(acc)
 
 
-# ---------------------------------------------------------------------------
-# Split-phase Pallas merge: prep / kernel / post as separate executables.
-#
-# On the tunneled runtime, an executable that mixes the large XLA prep with
-# the Mosaic kernel faults with INVALID_ARGUMENT on its SECOND execution
-# (scripts/repro_mosaic_fault.py isolates this: kernel-only and XLA-only
-# programs re-execute fine; the combined program faults). Production
-# therefore runs trace -> prep -> kernel -> post as four executables; all
-# intermediates stay on device and the host only syncs once per block.
-# ---------------------------------------------------------------------------
-
-
-_STATIC_PREP = (
-    "res_x", "res_y", "photon_factor", "query_factor",
-)
-
-
-def _merge_prep_impl(
-    scene: SceneData,
-    iteration,
-    traced,
-    res_x: int,
-    res_y: int,
-    radius_factor: float = 0.003,
-    radius_alpha: float = 0.75,
-    photon_factor: float = 3.0,
-    query_factor: float = 3.0,
-):
-    from ..ops.pallas_merge import merge_prep
-
-    fb, color, queries, verts, sx, sy, ray_count = traced
-    n = res_x * res_y
-    misc = compute_misc(
-        scene, iteration, n, radius_factor, radius_alpha, True, True
-    )
-    return merge_prep(
-        scene, misc, queries, verts,
-        _pad_mult(int(photon_factor * n), 128),
-        _pad_mult(int(query_factor * n), 128), n,
-    )
-
-
-_MERGE_PREP_JIT = {}
-
-
-def merge_prep_iteration(*args, **kwargs):
-    """XLA prep half over a trace_iteration result.
-
-    Returns (kernel_operands, q_path, n_q, overflow, stats); feed
-    kernel_operands to pallas_merge.run_tile_kernel_jit and everything to
-    merge_post_iteration.
-
-    The jit FORCES default physical layouts on every output: the qtab
-    bake ends in a tiled transpose that XLA would otherwise keep as a
-    metadata-only layout permutation, and the Mosaic kernel compiled
-    against that permuted-layout operand faults with INVALID_ARGUMENT on
-    its second execution on the tunneled TPU runtime
-    (scripts/repro_mosaic_fault.py: default-layout operands re-execute
-    clean, chained permuted-layout operands fault).
-    """
-    fn = _MERGE_PREP_JIT.get("fn")
-    if fn is None:
-        try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            dev = jax.devices()[0]
-            fmt = lambda nd: Format(
-                Layout(tuple(range(nd))), SingleDeviceSharding(dev)
-            )
-            out_fmt = ((fmt(3), fmt(2), fmt(2)),
-                       fmt(1), fmt(0), fmt(0), fmt(1))
-            fn = jax.jit(_merge_prep_impl, static_argnames=_STATIC_PREP,
-                         out_shardings=out_fmt)
-        except (ImportError, TypeError):  # pragma: no cover - older jax
-            fn = jax.jit(_merge_prep_impl, static_argnames=_STATIC_PREP)
-        _MERGE_PREP_JIT["fn"] = fn
-    return fn(*args, **kwargs)
-
-
-@partial(jax.jit, static_argnames=("res_x", "res_y"))
-def merge_post_iteration(
-    scene: SceneData,
-    iteration,
-    traced,
-    kout,
-    qtab,
-    q_path,
-    n_q,
-    accum_img,
-    accum_ovf,
-    prep_ovf,
-    res_x: int,
-    res_y: int,
-    radius_factor: float = 0.003,
-    radius_alpha: float = 0.75,
-):
-    """Kernel output -> this iteration's image, added onto ``accum_img``.
-
-    Returns (accum_img + iteration image, accum_ovf + prep_ovf, ray_count,
-    luminance-of-accum) — the luminance scalar is the block's host sync.
-    """
-    from ..ops.pallas_merge import merge_post
-
-    fb, color, queries, verts, sx, sy, ray_count = traced
-    n = res_x * res_y
-    misc = compute_misc(
-        scene, iteration, n, radius_factor, radius_alpha, True, True
-    )
-    mc = merge_post(kout, qtab, q_path, n_q, misc.vm_normalization, n)
-    color = color + mc
-    fb = add_color(fb, sx, sy, color)
-    out = accum_img + fb.to_array()
-    return out, accum_ovf + prep_ovf, ray_count, jnp.sum(out)
-
-
 @partial(jax.jit, static_argnames=("res_x", "res_y"))
 def merge_demand_iteration(
     scene: SceneData,
@@ -1772,27 +1656,3 @@ def merge_demand_iteration(
         jnp.sum(pv.astype(jnp.int32)),
         jnp.sum(qv.astype(jnp.int32)),
     ])
-
-
-@partial(jax.jit, static_argnames=("max_iters", "n_paths", "use_vc"))
-def misc_scal_table(
-    scene: SceneData, max_iters: int, n_paths: int,
-    radius_factor: float = 0.003, radius_alpha: float = 0.75,
-    use_vc: bool = True,
-):
-    """[max_iters, 2] table of (radius_sqr, mis_vc_weight) per iteration.
-
-    The split-pallas driver fetches this ONCE and feeds the kernel a
-    host-built scal operand per iteration (pallas_merge.make_scal): the
-    values must be the device-computed f32 radius schedule so the
-    kernel's r^2 test matches the normalization/MIS constants the
-    prep/post programs compute internally (vertexcm.hxx:294-308).
-    """
-    its = jnp.arange(max_iters, dtype=jnp.float32)
-    base_radius = radius_factor * scene.scene_sphere.radius
-    radius = base_radius / jnp.power(its + 1.0, 0.5 * (1.0 - radius_alpha))
-    radius = jnp.maximum(radius, 1e-7)
-    r2 = radius * radius
-    eta = PI_F * r2 * jnp.float32(n_paths)
-    vc_w = (1.0 / eta) if use_vc else jnp.zeros_like(eta)
-    return jnp.stack([r2, vc_w], axis=1)

@@ -466,8 +466,17 @@ def merge_prep(
             tr_min = jnp.min(jnp.where(m, tr, ROWS), axis=1)
             tr_max = jnp.max(jnp.where(m, tr, -1), axis=1)
             empty = tr_max < 0
-            lo = row_start[jnp.where(empty, 0, tr_min)]
-            hi = row_start[jnp.where(empty, 0, tr_max + 1)]
+            # row_start indexes LIVE photons (uncapped); when the photon
+            # compaction cap overflowed, values beyond photon_cap exist —
+            # clamp so slab ids stay in-bounds (an unclamped interval sent
+            # the kernel an out-of-bounds DMA on scene 1's photon-heavy
+            # distribution; overflow is still reported and the driver
+            # re-renders at grown caps, so clamping only affects the
+            # discarded attempt).
+            lo = jnp.minimum(row_start[jnp.where(empty, 0, tr_min)],
+                             photon_cap)
+            hi = jnp.minimum(row_start[jnp.where(empty, 0, tr_max + 1)],
+                             photon_cap)
             bad = empty | (hi <= lo)
             los.append(jnp.where(bad, jnp.int32(1 << 30), lo // SLAB))
             his.append(jnp.where(bad, 0, (hi + SLAB - 1) // SLAB))
@@ -610,10 +619,12 @@ def merge_stage_pallas(
 
     ``work_cap`` is accepted for driver compatibility but UNUSED: per-tile
     slab work is data-dependent inside the kernel, so only the
-    photon/query compaction caps can overflow. Use this wrapper for tests
-    and interpreter-mode runs; production on the tunneled TPU runtime uses
-    the split merge_prep / run_tile_kernel_jit / merge_post executables
-    (see merge_prep's fault note).
+    photon/query compaction caps can overflow. This single-trace form IS
+    the production configuration (fused inside the block executable —
+    render.py::_resolve_backend): splitting prep/kernel/post into
+    separate executables destabilizes the tunneled TPU runtime (see
+    merge_prep's fault note), while the fused program re-executes
+    reliably.
     """
     prep, q_path, n_q, overflow, stats = merge_prep(
         scene, misc, queries, light_verts, photon_cap, query_cap,

@@ -19,11 +19,13 @@ Round-3 driver design (all measured on the axon-tunneled v5e):
   by render-retry (which double-compiled iteration 0 through a
   minutes-long remote-compile service). Sized caps persist in a JSON
   sidecar so later processes skip even the measurement.
-* Split Pallas path: the Mosaic merge kernel must live in its OWN
-  executable (a combined XLA-prep+kernel program faults on re-execution
-  on this runtime — see ops/pallas_merge.py::merge_prep), so the pallas
-  backend runs trace -> prep -> kernel -> post as four async dispatches
-  per iteration with one sync per block.
+* Fused Pallas merge: the Mosaic dense-slab kernel runs INSIDE the block
+  executable (merge_backend 'auto' -> pallas on a single TPU). Split
+  multi-executable designs are what destabilize this tunneled runtime
+  (large buffers crossing executable boundaries around Mosaic — see
+  _resolve_backend and scripts/repro_mosaic_fault.py); the fused form
+  re-executes reliably and is ~1.5x faster than the XLA pair-expansion
+  merge at 512^2.
 """
 
 from __future__ import annotations
@@ -136,22 +138,28 @@ def _bucket(needed: float, n: int) -> float:
 def _resolve_backend(cfg: RenderConfig, use_vm: bool) -> str:
     """Resolve merge_backend 'auto' (vm algorithms only).
 
-    'auto' resolves to XLA: the tunneled TPU runtime in this environment
-    corrupts its session nondeterministically when large buffers cross
-    executable boundaries around a Mosaic kernel (INVALID_ARGUMENT on a
-    later big-program execution; root-caused triggers included permuted
-    physical layouts and nonstandard tile layouts on handoff buffers —
-    scripts/repro_mosaic_fault.py — but a residual nondeterministic
-    fault remains after fixing those). The dense-slab kernel stays fully
-    implemented and opt-in via --merge-backend pallas; the XLA merge is
-    exact on every backend and, with the round-3 planar layout + block
-    batching, fast enough to be the honest default.
+    'auto' resolves to the Pallas dense-slab kernel FUSED inside the
+    block executable on a single TPU device, XLA elsewhere. The fused
+    form is the one Mosaic configuration this environment's tunneled
+    runtime executes reliably (scene sweeps re-execute clean); what
+    corrupts the runtime is LARGE BUFFERS CROSSING EXECUTABLE BOUNDARIES
+    around a Mosaic kernel — the round-2/3 split-executable designs hit
+    permuted physical layouts, nonstandard tile layouts, and a residual
+    nondeterministic fault (experiment ladder:
+    scripts/repro_mosaic_fault.py). Inside one program XLA materializes
+    the kernel operands itself and none of those hazards exist.
     """
     backend = cfg.merge_backend
     if not use_vm:
         return "xla"
     if backend == "auto":
-        backend = "xla"
+        n = cfg.resolution[0] * cfg.resolution[1]
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and cfg.mesh is None
+            and n >= 256 * 256
+            else "xla"
+        )
     if backend.startswith("pallas") and cfg.mesh is not None:
         backend = "xla"  # kernel is single-device only
     return backend
@@ -343,20 +351,16 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
     if use_vm and cfg.mesh is None:
         _ensure_merge_caps(scene, cfg, alg, backend, use_vc, ppm)
 
-    if backend.startswith("pallas") and use_vm:
-        return _make_pallas_runner(
-            scene, cfg, use_vc, ppm,
-            interpret=(backend == "pallas_interpret"),
-        )
-
     caps_key = _caps_key(scene, cfg, alg, backend)
+    is_pallas = backend.startswith("pallas") and use_vm
 
     def run_xla(start, k):
         while True:
             # Chunk the merge only when pair arrays would exceed ~16M
             # rows (~1.4 GB @ ~21 int32/row) — chunking costs a little
             # and its uneven pair split needs slack (vcm.merge_stage).
-            chunks = 1 if not use_vm else max(
+            # The pallas kernel streams photon slabs and never chunks.
+            chunks = 1 if (not use_vm or is_pallas) else max(
                 1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
             if cfg.mesh is not None:
                 from .parallel.sharding import (
@@ -391,7 +395,8 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
                     ppm=ppm, pair_factor=cfg.pair_factor,
                     photon_factor=cfg.photon_factor,
                     query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
-                    merge_chunks=chunks, merge_backend="xla",
+                    merge_chunks=chunks,
+                    merge_backend=backend if is_pallas else "xla",
                 )
             if not use_vm:
                 jax.device_get(ovf)
@@ -425,82 +430,6 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
                   f"query_factor={cfg.query_factor}", flush=True)
 
     return run_xla
-
-
-def _make_pallas_runner(scene: SceneData, cfg: RenderConfig,
-                        use_vc: bool, ppm: bool, interpret: bool):
-    """trace -> prep -> kernel -> post, four executables per iteration,
-    one host sync per block (see module docstring)."""
-    from .ops.pallas_merge import make_scal, run_tile_kernel_jit
-
-    res_x, res_y = cfg.resolution
-    n = res_x * res_y
-
-    # Per-iteration (r^2, mis_vc_weight) for the kernel's host-built scal
-    # operand, fetched ONCE from a device computation so the kernel's
-    # radius matches the prep/post programs' f32 schedule exactly. The
-    # scal array must be host-built per call: as a jit OUTPUT it gets a
-    # nonstandard tile layout that faults the kernel (pallas_merge notes).
-    scal_tbl = {"rows": np.zeros((0, 2), np.float32)}
-
-    def scal_for(it: int):
-        rows = scal_tbl["rows"]
-        if it >= rows.shape[0]:
-            need = max(1024, 2 * (it + 1), cfg.iterations)
-            rows = np.asarray(vcm.misc_scal_table(
-                scene, need, n, cfg.radius_factor, cfg.radius_alpha,
-                use_vc,
-            ))
-            scal_tbl["rows"] = rows
-        return make_scal(float(rows[it, 0]), float(rows[it, 1]))
-
-    def run(start, k):
-        while True:
-            acc = jnp.zeros((res_y, res_x, 3), jnp.float32)
-            ovf = jnp.zeros((), jnp.int32)
-            lum = None
-            stats_l = []
-            for j in range(k):
-                it = start + j
-                scal = scal_for(it)
-                traced = vcm.trace_iteration(
-                    scene, it, res_x, res_y, cfg.base_seed,
-                    cfg.max_path_length, cfg.min_path_length,
-                    cfg.radius_factor, cfg.radius_alpha, use_vc, ppm,
-                    cfg.rng_kind,
-                )
-                prep, q_path, n_q, p_ovf, stats = vcm.merge_prep_iteration(
-                    scene, it, traced, res_x, res_y,
-                    cfg.radius_factor, cfg.radius_alpha,
-                    photon_factor=cfg.photon_factor,
-                    query_factor=cfg.query_factor,
-                )
-                kout = run_tile_kernel_jit(
-                    scal, *prep, max_path_length=cfg.max_path_length,
-                    min_path_length=cfg.min_path_length, ppm=ppm,
-                    interpret=interpret,
-                )
-                acc, ovf, _rays, lum = vcm.merge_post_iteration(
-                    scene, it, traced, kout, prep[0], q_path, n_q,
-                    acc, ovf, p_ovf, res_x, res_y,
-                    cfg.radius_factor, cfg.radius_alpha,
-                )
-                stats_l.append(stats)
-            ovf_v = int(jax.device_get(ovf))
-            if ovf_v == 0:
-                return acc
-            smax = np.max(np.stack(jax.device_get(stats_l)), axis=0)
-            _work, n_ph, n_q_v = (int(v) for v in smax)
-            cfg.photon_factor = max(
-                cfg.photon_factor, _bucket(n_ph * 1.15, n))
-            cfg.query_factor = max(
-                cfg.query_factor, _bucket(n_q_v * 1.15, n))
-            print(f"[smallvcm_tpu] pallas compaction overflow; "
-                  f"re-rendering block at iteration {start} with "
-                  f"photon_factor={cfg.photon_factor} "
-                  f"query_factor={cfg.query_factor}", flush=True)
-
-    return run
 
 
 def _maybe_inject_test_fault(done: int) -> None:
