@@ -56,20 +56,20 @@ def _eprint(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _steady_blocks(runner, warm_blocks=1, timed_blocks=3):
+def _steady_blocks(runner, warm_blocks=1, timed_blocks=3, block=BLOCK):
     """Time ``timed_blocks`` blocks after ``warm_blocks`` settle runs.
 
     Returns (seconds_per_iteration, iterations_timed)."""
     start = 0
     for _ in range(warm_blocks):
-        runner(start, BLOCK)
-        start += BLOCK
+        runner(start, block)
+        start += block
     t0 = time.time()
     for _ in range(timed_blocks):
-        runner(start, BLOCK)
-        start += BLOCK
+        runner(start, block)
+        start += block
     dt = time.time() - t0
-    return dt / (timed_blocks * BLOCK), timed_blocks * BLOCK
+    return dt / (timed_blocks * block), timed_blocks * block
 
 
 def bench_vcm(scene, res, n):
@@ -104,11 +104,14 @@ def bench_algorithm(alg, scene, res, n):
     from smallvcm_tpu import render as R
 
     cfg = R.RenderConfig(algorithm=alg, resolution=(res, res))
+    # Same block size the production driver auto-picks (el/pt batch more
+    # iterations per dispatch — they carry no merge-cap state).
+    block = R.DEFAULT_BLOCK_SIMPLE if alg in ("el", "pt") else BLOCK
     t0 = time.time()
     runner = R._make_block_runner(scene, cfg, alg)
-    runner(0, BLOCK)
+    runner(0, block)
     cold = time.time() - t0
-    dt, _ = _steady_blocks(runner, warm_blocks=0)
+    dt, _ = _steady_blocks(runner, warm_blocks=0, block=block)
     return dt, cold
 
 

@@ -1,4 +1,8 @@
-"""Bisect the Pallas-merge prep cost (~200 ms at 512^2) into sub-stages.
+"""Bisect the Pallas-merge cost into sub-stages (planar-table API).
+
+Each timed unit is one jit returning a single scalar so the measurement is
+one dispatch + one tiny fetch (the tunneled backend adds ~10-25 ms per
+round-trip; see profile_round3.py).
 
 Usage: python scripts/profile_prep.py [res]
 """
@@ -6,6 +10,7 @@ Usage: python scripts/profile_prep.py [res]
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
@@ -26,7 +31,7 @@ def timeit(label, fn, *args, reps=8):
     for _ in range(reps):
         float(fn(*args))
     dt = (time.time() - t0) / reps
-    print(f"{label:40s} {dt*1e3:8.1f} ms", flush=True)
+    print(f"{label:44s} {dt*1e3:8.1f} ms", flush=True)
     return dt
 
 
@@ -40,55 +45,73 @@ def main():
     traced = vcm.trace_iteration(scene, 1, res, res)
     jax.block_until_ready(traced)
     fb, color, queries, verts, sx, sy, rays = traced
-    photon_cap = -(-4 * n // 128) * 128
-    query_cap = -(-4 * n // 128) * 128
+    photon_cap = -(-2 * n // 128) * 128
+    query_cap = -(-3 * n // 128) * 128
 
     @jax.jit
-    def payload_compact(queries, verts):
-        ps = PM._source_payload(verts)
-        qs = PM._source_payload(queries)
-        ip, np_, op = grid_ops.compact_indices(ps[:, 15] > 0, photon_cap)
-        iq, nq_, oq = grid_ops.compact_indices(qs[:, 15] > 0, query_cap)
-        return (jnp.sum(ps[:, 0]) + jnp.sum(qs[:, 0])
+    def planes_compact(queries, verts):
+        ps = PM._source_planes(verts)
+        qs = PM._source_planes(queries)
+        ip, np_, op = grid_ops.compact_indices(ps[15] > 0, photon_cap)
+        iq, nq_, oq = grid_ops.compact_indices(qs[15] > 0, query_cap)
+        return (jnp.sum(ps[0]) + jnp.sum(qs[0])
                 + (ip[0] + iq[0] + np_ + nq_).astype(jnp.float32))
 
-    timeit("source payloads + compact idx", payload_compact, queries, verts)
+    timeit("source planes + compact idx", planes_compact, queries, verts)
 
     @jax.jit
     def photon_side(verts):
-        ps = PM._source_payload(verts)
-        pv = ps[:, 15] > 0.0
+        ps = PM._source_planes(verts)
+        pv = ps[15] > 0.0
         big = jnp.float32(1e36)
-        mins = tuple(jnp.min(jnp.where(pv, ps[:, c], big)) for c in range(3))
+        mins = tuple(jnp.min(jnp.where(pv, ps[c], big)) for c in range(3))
         inv_cell = 1.0 / (misc.radius * 2.0)
         (cx, cy, cz), _ = PM._cells_of(
-            ps[:, 0], ps[:, 1], ps[:, 2], mins, inv_cell, pv)
+            ps[0], ps[1], ps[2], mins, inv_cell, pv)
         row = cz * PM.GRID_XY + cy
         key = jnp.where(pv, row, PM._KEY_SENT)
         prows, pidx, n_p, ovf = PM._compact_sorted(ps, key, photon_cap)
-        return jnp.sum(prows[:, 0]) + n_p.astype(jnp.float32)
+        return jnp.sum(prows[0]) + n_p.astype(jnp.float32)
 
     timeit("photon key+sort+permute", photon_side, verts)
 
     @jax.jit
+    def query_side(queries, verts):
+        ps = PM._source_planes(verts)
+        pv = ps[15] > 0.0
+        big = jnp.float32(1e36)
+        mins = tuple(jnp.min(jnp.where(pv, ps[c], big)) for c in range(3))
+        inv_cell = 1.0 / (misc.radius * 2.0)
+        qs = PM._source_planes(queries)
+        qv = qs[15] > 0.0
+        (cx, cy, cz), _ = PM._cells_of(
+            qs[0], qs[1], qs[2], mins, inv_cell, qv)
+        key = jnp.where(qv, cz * PM.GRID_XY + cy, PM._KEY_SENT)
+        qrows, qidx, n_q, ovf = PM._compact_sorted(qs, key, query_cap)
+        return jnp.sum(qrows[0]) + n_q.astype(jnp.float32)
+
+    timeit("query key+sort+permute", query_side, queries, verts)
+
+    @jax.jit
     def sort_only(verts):
-        ps = PM._source_payload(verts)
-        pv = ps[:, 15] > 0.0
-        key = jnp.where(pv, jnp.arange(ps.shape[0]) % 1999, 1 << 19)
-        order = grid_ops.stable_radix_argsort(key.astype(jnp.uint32), 20)
+        ps = PM._source_planes(verts)
+        m = ps.shape[1]
+        key = (jnp.arange(m) % 1999).astype(jnp.uint32)
+        order = grid_ops.stable_radix_argsort(key, 20)
         return order[0].astype(jnp.float32) + order[-1].astype(jnp.float32)
 
-    timeit("radix argsort alone (2.4M keys)", sort_only, verts)
+    timeit(f"radix argsort alone ({verts.valid.size} keys)",
+           sort_only, verts)
 
     @jax.jit
     def row_hist_fn(verts):
-        ps = PM._source_payload(verts)
-        pv = ps[:, 15] > 0.0
+        ps = PM._source_planes(verts)
+        pv = ps[15] > 0.0
         big = jnp.float32(1e36)
-        mins = tuple(jnp.min(jnp.where(pv, ps[:, c], big)) for c in range(3))
+        mins = tuple(jnp.min(jnp.where(pv, ps[c], big)) for c in range(3))
         inv_cell = 1.0 / (misc.radius * 2.0)
         (cx, cy, cz), _ = PM._cells_of(
-            ps[:, 0], ps[:, 1], ps[:, 2], mins, inv_cell, pv)
+            ps[0], ps[1], ps[2], mins, inv_cell, pv)
         row = cz * PM.GRID_XY + cy
         hist = jnp.zeros((PM.ROWS + 1,), jnp.int32).at[
             jnp.where(pv, row, PM.ROWS)].add(1)
@@ -117,22 +140,33 @@ def main():
 
     timeit("measure-only prep (bakes DCEd)", measure_prep, queries, verts)
 
-    ker = PM.run_tile_kernel_jit
     prep, q_path, n_q, ovf, stats = jax.jit(
         PM.merge_prep, static_argnames=("photon_cap", "query_cap",
                                         "n_paths", "measure_only")
     )(scene, misc, queries, verts, photon_cap=photon_cap,
       query_cap=query_cap, n_paths=n)
     jax.block_until_ready(prep)
+    print("  stats (work, n_p, n_q):",
+          [int(v) for v in jax.device_get(stats)], flush=True)
+    scal = PM.make_scal(float(misc.radius_sqr), float(misc.mis_vc_weight))
 
     @jax.jit
     def kern_sum(scal, qtab, runs, ptab):
         out = PM.run_tile_kernel(
             scal, qtab, runs, ptab, max_path_length=10, min_path_length=0,
             ppm=False)
-        return jnp.sum(out[:, :3])
+        return jnp.sum(out[:3])
 
-    timeit("tile kernel (incl sum)", kern_sum, *prep)
+    timeit("tile kernel (incl sum)", kern_sum, scal, *prep)
+
+    @jax.jit
+    def post_sum(out_like, qtab):
+        color = PM.merge_post(
+            out_like, qtab, q_path, n_q, misc.vm_normalization, n)
+        return jnp.sum(color.x)
+
+    out = jnp.ones((8, query_cap), jnp.float32)
+    timeit("merge post (scatter-add)", post_sum, out, prep[0])
 
 
 if __name__ == "__main__":

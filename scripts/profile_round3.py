@@ -91,6 +91,9 @@ def main():
     timeit("light+camera (vm only, bpm)",
            jax.jit(partial(cam, use_vc=False, use_vm=True)), 1)
 
+    if os.environ.get("SMALLVCM_PROFILE_STAGES_ONLY"):
+        return
+
     # Merge backends over a real traced iteration.
     traced = vcm.trace_iteration(scene, 1, res, res)
     jax.block_until_ready(traced)

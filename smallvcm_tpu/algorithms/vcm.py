@@ -1116,19 +1116,26 @@ def _camera_stage(
             rays = rays + jnp.sum(nee_on.astype(jnp.int32))
 
         # VC: connect to this path's light vertices (vertexcm.hxx:498-526).
-        # All maxL slots batch into one [maxL*N] call: one occlusion sweep
-        # and one pair of BSDF evaluations per bounce instead of maxL
-        # sequential N-lane launches.
-        if use_vc:
-            m_conn = max_l * n
-            bro = lambda a: jnp.broadcast_to(a, (max_l,) + a.shape) \
+        # All in-window slots batch into one [w*N] call: one occlusion
+        # sweep and one pair of BSDF evaluations per bounce instead of
+        # maxL sequential N-lane launches. ``w`` shrinks with camera
+        # depth — full_len = (j+1) + 1 + path_length <= max_path_length
+        # bounds the reachable light slot j, so later bounces slice the
+        # vertex table statically instead of masking always-dead lanes
+        # (the unrolled bounce loop is what makes the per-bounce static
+        # width possible; connections are HBM-traffic-bound at ~9 ns per
+        # lane, and the window cuts total lanes by ~60% at maxPath 10).
+        w_conn = min(max_l, max(0, max_path_length - 1 - path_length))
+        if use_vc and w_conn > 0:
+            m_conn = w_conn * n
+            bro = lambda a: jnp.broadcast_to(a, (w_conn,) + a.shape) \
                 .reshape((m_conn,) + a.shape[1:])
             brov = lambda v: V3(bro(v.x), bro(v.y), bro(v.z))
-            fl = lambda a: a.reshape((m_conn,))
+            fl = lambda a: a[:w_conn].reshape((m_conn,))
             flv = lambda v: V3(fl(v.x), fl(v.y), fl(v.z))
 
             lv_len = jnp.repeat(
-                jnp.arange(max_l, dtype=jnp.int32) + 1, n
+                jnp.arange(w_conn, dtype=jnp.int32) + 1, n
             )
             full_len = lv_len + 1 + path_length
             in_range = (full_len >= min_path_length) & (
@@ -1157,7 +1164,7 @@ def _camera_stage(
                 lv_valid, brov(state.throughput) * flv(verts.throughput) * c,
                 0.0,
             )
-            c2 = contrib.reshape((max_l, n))
+            c2 = contrib.reshape((w_conn, n))
             color = color + V3(
                 jnp.sum(c2.x, axis=0), jnp.sum(c2.y, axis=0),
                 jnp.sum(c2.z, axis=0),
@@ -1188,10 +1195,15 @@ def _camera_stage(
         )
         return state, color, queries, rays
 
-    state, color, queries, cam_rays = jax.lax.fori_loop(
-        0, max_path_length, bounce,
-        (state, color, queries, jnp.zeros((), jnp.int32)),
-    )
+    # Python-unrolled bounce loop (NOT fori_loop): each bounce slices the
+    # light-vertex table to its static connection window w_conn — shapes
+    # differ per bounce, which a traced loop cannot express. Unrolling
+    # also lets XLA fuse stores/walk across bounces. maxPathLength is
+    # small (default 10), so the HLO growth is modest.
+    carry = (state, color, queries, jnp.zeros((), jnp.int32))
+    for i in range(max_path_length):
+        carry = bounce(i, carry)
+    state, color, queries, cam_rays = carry
     return color, queries, light_verts_global, sx, sy, cam_rays
 
 

@@ -65,6 +65,7 @@ ROWS = GRID_Z * GRID_XY   # 2^19 (row = cz * GRID_XY + cy)
 _KEY_SENT = jnp.int32(1 << 19)   # > any live row id
 SLAB = 128                # photons per kernel slab
 QTILE = 128               # queries per kernel tile
+NBUF = 4                  # photon slabs in flight (DMA pipeline depth)
 QF = 32                   # f32 fields per baked query row
 PF = 16                   # f32 fields per baked photon row
 _QSENT = jnp.float32(3e18)   # out-of-world sentinel for dead queries
@@ -142,13 +143,15 @@ def _dense_block(
         mis = 1.0 / (w_light + 1.0 + w_camera)
 
     mis = mis * ok.astype(jnp.float32)
-    sums = []
+    blocks = []
     for c in range(3):
         # factor_c = diffuse_c/pi [diffuse ok] + rho_c * lobe [phong ok]
         fac = qc(21 + c) * okd_f + qc(24 + c) * lobe
-        contrib = fac * pc(6 + c) * mis
-        sums.append(jnp.sum(contrib, axis=1, keepdims=True))
-    return sums
+        blocks.append(fac * pc(6 + c) * mis)
+    # Full [QTILE, SLAB] blocks, NOT per-slab lane reductions: the caller
+    # accumulates blocks across slabs and reduces ONCE per tile — the
+    # cross-lane reduction is the slab loop's most expensive op.
+    return blocks
 
 
 # Runs-table layout (one [RUNCOLS] int32 row per query tile, DMA'd to SMEM):
@@ -165,9 +168,9 @@ def _tile_kernel(
     ptab_ref,                    # [PF, photon_cap] f32 (HBM)
     out_ref,                     # [8, QTILE] this tile's RGB output
     runs_smem,                   # SMEM scratch [RUNCOLS]
-    pbuf,                        # VMEM scratch [2, PF, SLAB]
-    acc,                         # VMEM scratch [QTILE, 8] accumulator
-    sem_runs, sem_p,             # DMA semaphores (), (2,)
+    pbuf,                        # VMEM scratch [NBUF, PF, SLAB]
+    acc,                         # VMEM scratch [3, QTILE, SLAB] accumulator
+    sem_runs, sem_p,             # DMA semaphores (), (NBUF,)
     *, max_path_length: int, min_path_length: int, ppm: bool,
 ):
     t = pl.program_id(0)
@@ -198,14 +201,21 @@ def _tile_kernel(
 
     @pl.when(total > 0)
     def _():
-        slab_dma(0, 0).start()
+        # Fill the pipeline: NBUF slab fetches in flight. The slabs are
+        # small (PF*SLAB*4 bytes); per-DMA latency, not HBM bandwidth,
+        # bounds the stream, so depth matters more than size.
+        for j in range(NBUF - 1):
+            @pl.when(j < total)
+            def _(j=j):
+                slab_dma(j, j % NBUF).start()
 
         def body(k, _):
-            slot = jax.lax.rem(k, 2)
+            slot = jax.lax.rem(k, NBUF)
 
-            @pl.when(k + 1 < total)
+            @pl.when(k + (NBUF - 1) < total)
             def _():
-                slab_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+                slab_dma(k + (NBUF - 1),
+                         jax.lax.rem(k + (NBUF - 1), NBUF)).start()
 
             slab_dma(k, slot).wait()
             r, g, b = _dense_block(
@@ -213,19 +223,26 @@ def _tile_kernel(
                 max_path_length=max_path_length,
                 min_path_length=min_path_length, ppm=ppm,
             )
-            acc[:, 0:1] += r
-            acc[:, 1:2] += g
-            acc[:, 2:3] += b
+            # Accumulate full blocks; the cross-lane reduction happens
+            # ONCE per tile below, not once per slab (the lane reduce was
+            # the most expensive op in the slab loop).
+            acc[0] += r
+            acc[1] += g
+            acc[2] += b
             return 0
 
         jax.lax.fori_loop(0, total, body, 0)
 
-    # One [QTILE, 8] -> [8, QTILE] transpose per tile: the channel-major
-    # output is the layout Mosaic produces natively, so the kernel's
-    # logical output layout matches its physical one — downstream XLA
-    # programs then consume a DEFAULT-layout buffer (permuted-layout
-    # Mosaic outputs poison the tunneled runtime; see merge_prep).
-    out_ref[:] = acc[:].T
+    # Per-tile epilogue: reduce [3, QTILE, SLAB] -> [3, QTILE] lanes and
+    # write channel-major. The channel-major output is the layout Mosaic
+    # produces natively, so the kernel's logical output layout matches its
+    # physical one — downstream XLA programs then consume a DEFAULT-layout
+    # buffer (permuted-layout Mosaic outputs poison the tunneled runtime;
+    # see merge_prep).
+    red = jnp.sum(acc[:], axis=2)                    # [3, QTILE]
+    out_ref[:] = jnp.concatenate(
+        [red, jnp.zeros((5, QTILE), jnp.float32)], axis=0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -281,16 +298,25 @@ def _cells_of(x, y, z, mins, inv_cell, live):
 def _compact_sorted(planes, keys, cap: int):
     """Compact live columns (valid in plane 15) to ``cap`` slots sorted
     by key. Returns (planes [16, cap], src index [cap], count, overflow).
-    Dead slots sort last (their key is the sentinel, strictly above any
-    live key, so sorted position < count <=> live)."""
+
+    One full-width stable radix sort subsumes the old cumsum+scatter
+    compaction: dead slots carry the key sentinel (strictly above any
+    live key) so they sort last, and slicing the first ``cap`` sorted
+    positions IS the compaction (sorted position < count <=> live; live
+    relative order matches compact-then-sort exactly because the sort is
+    stable). XLA's TPU sort cost is nearly width-independent (measured
+    ~same at 786K and 3.1M — scripts/profile_microbench.py), so this
+    saves the compaction cumsum+scatter and the [cap] key gather
+    (~35 ms/side at 512^2, scripts/profile_prep_bisect.py). Dead slots
+    beyond ``count`` gather real (invalid) source columns; every
+    downstream consumer masks by the live count."""
     valid = planes[15] > 0.0
-    idx, count, ovf = grid_ops.compact_indices(valid, cap)
-    keys_c = jnp.where(
-        jnp.arange(cap, dtype=jnp.int32) < count, keys[idx], _KEY_SENT
-    )
-    order = grid_ops.stable_radix_argsort(keys_c.astype(jnp.uint32), 20)
-    src = idx[order.astype(jnp.int32)]
-    return planes[:, src], src, count, ovf
+    count = jnp.sum(valid.astype(jnp.int32))
+    order = grid_ops.stable_radix_argsort(keys.astype(jnp.uint32), 20)
+    m = keys.shape[0]
+    src = (order[:cap] if cap <= m
+           else jnp.pad(order, (0, cap - m))).astype(jnp.int32)
+    return planes[:, src], src, count, jnp.maximum(count - cap, 0)
 
 
 def merge_prep(
@@ -339,13 +365,30 @@ def merge_prep(
     prows, psrc_idx, n_p, ovf_p = _compact_sorted(psrc, pkey, photon_cap)
     plive = jnp.arange(photon_cap, dtype=jnp.int32) < n_p
 
-    row_hist = jnp.zeros((ROWS + 1,), jnp.int32).at[
-        jnp.where(pv, prow_id, ROWS)
-    ].add(1)
-    row_start = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.cumsum(row_hist)[:-1].astype(jnp.int32),
-    ])  # [ROWS + 1]; row_start[ROWS] == live photon count
+    # row_start[r] = index of the first sorted photon with row >= r (the
+    # exclusive prefix of the row histogram — identical because photons
+    # are row-sorted). Derived from the SORTED slots: one boundary
+    # scatter-min at [photon_cap] + one reverse cummin at [ROWS] replaces
+    # the full-width [ll*n] scatter-add histogram. On photon-cap overflow
+    # rows of dropped photons may resolve to a later row's start; the
+    # interval code below clamps to photon_cap either way and the driver
+    # discards the attempt.
+    (scx, scy, scz), _ = _cells_of(
+        prows[0], prows[1], prows[2], mins, inv_cell, plive
+    )
+    srow = jnp.where(plive, scz * GRID_XY + scy, ROWS)  # [cap] sorted rows
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), srow[1:] != srow[:-1]]
+    )
+    # Non-first slots scatter out of bounds (dropped): only each row's
+    # FIRST slot may contribute, and the first dead slot (srow == ROWS,
+    # position n_p) is itself a boundary, giving row_start[ROWS] = n_p.
+    firstpos = jnp.full((ROWS + 1,), jnp.int32(1 << 30)).at[
+        jnp.where(first, srow, ROWS + 1)
+    ].min(jnp.arange(photon_cap, dtype=jnp.int32), mode="drop")
+    row_start = jnp.minimum(
+        jax.lax.cummin(firstpos[::-1])[::-1], n_p
+    ).astype(jnp.int32)  # [ROWS + 1]; row_start[ROWS] == live count
 
     # Bake the kernel photon table [PF, photon_cap]:
     # 0-2 pos | 3-5 in_dir | 6-8 throughput | 9 d_vcm | 10 d_vm |
@@ -558,10 +601,10 @@ def run_tile_kernel(
         out_shape=jax.ShapeDtypeStruct((8, n_tiles * QTILE), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((RUNCOLS,), jnp.int32),
-            pltpu.VMEM((2, PF, SLAB), jnp.float32),
-            pltpu.VMEM((QTILE, 8), jnp.float32),
+            pltpu.VMEM((NBUF, PF, SLAB), jnp.float32),
+            pltpu.VMEM((3, QTILE, SLAB), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         # Shape-qualified name: the tunneled backend's program cache has
         # been observed to confuse same-named Mosaic kernels compiled at
@@ -587,17 +630,19 @@ def merge_post(out, qtab, q_path, n_q, vm_normalization, n_paths: int):
     [n_tiles, QTILE, QF]."""
     # Tiles with no work write zeros, so no visited mask is needed; dead
     # query rows carry the position sentinel and can never pass the r^2
-    # test, so their lanes are zero too. Work planar (per-channel [cap]).
+    # test, so their lanes are zero too. ONE shared-index scatter covers
+    # all three channels (the per-channel scatters tripled the cost); in
+    # the fused production program XLA folds the tile-layout extract back
+    # to the planar rows it came from.
     query_cap = out.shape[1]
     qlive = jnp.arange(query_cap, dtype=jnp.int32) < n_q
     pdst = jnp.where(qlive, q_path, n_paths)
-    z = jnp.zeros((n_paths,), jnp.float32)
-
-    def channel(c):
-        acc = out[c] * qtab[:, :, 29 + c].reshape(query_cap)
-        return z.at[pdst].add(acc * vm_normalization, mode="drop")
-
-    return V3(channel(0), channel(1), channel(2))
+    thr = qtab[:, :, 29:32].transpose(2, 0, 1).reshape(3, query_cap)
+    scaled = out[:3] * thr * vm_normalization
+    z = jnp.zeros((3, n_paths), jnp.float32).at[:, pdst].add(
+        scaled, mode="drop"
+    )
+    return V3(z[0], z[1], z[2])
 
 
 def make_scal(radius_sqr, mis_vc_weight):

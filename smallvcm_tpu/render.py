@@ -68,6 +68,10 @@ _VCM_FLAGS = {
 }
 
 DEFAULT_BLOCK = 8
+# el/pt carry no merge caps/overflow state, so the only cost of a bigger
+# block is checkpoint granularity; 64 iterations/dispatch cuts the ~40 ms
+# tunnel round-trip to <1 ms/iter (pt compute is ~14 ms/iter at 512^2).
+DEFAULT_BLOCK_SIMPLE = 64
 
 
 @dataclass
@@ -257,8 +261,12 @@ def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
                 cfg.photon_factor, _bucket(n_ph * 1.2, n))
             cfg.query_factor = max(
                 cfg.query_factor, _bucket(n_q * 1.2, n))
-        cfg.photon_factor = _bucket(n_ph * 1.15, n)
-        cfg.query_factor = _bucket(n_q * 1.15, n)
+        # Vertex counts are radius-independent, so across iterations they
+        # vary only by MC noise (~0.2% at 262k paths); a 3% margin is
+        # ample and every downstream permute/bake scales with the cap.
+        # The block loop still grows caps and re-renders on overflow.
+        cfg.photon_factor = _bucket(n_ph * 1.03, n)
+        cfg.query_factor = _bucket(n_q * 1.03, n)
     else:
         demand = vcm.merge_demand_iteration(
             scene, 0, traced, res_x, res_y, cfg.radius_factor,
@@ -266,8 +274,8 @@ def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
         )
         pairs, n_ph, n_q = (int(v) for v in np.asarray(demand))
         cfg.pair_factor = _bucket(pairs * 1.15, n)
-        cfg.photon_factor = _bucket(n_ph * 1.15, n)
-        cfg.query_factor = _bucket(n_q * 1.15, n)
+        cfg.photon_factor = _bucket(n_ph * 1.03, n)
+        cfg.query_factor = _bucket(n_q * 1.03, n)
     cfg.merge_caps_frozen = True
     _save_cached_caps(key, dict(
         pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
@@ -503,8 +511,10 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
     # 1024^2), and per-iteration work grows ~quadratically (paths x
     # photon density at a fixed merge radius).
     n_pix = res_x * res_y
+    base_block = (DEFAULT_BLOCK_SIMPLE if alg in ("el", "pt")
+                  else DEFAULT_BLOCK)
     auto_block = cfg.block_size or max(
-        1, min(DEFAULT_BLOCK, (DEFAULT_BLOCK * 512 * 512) // max(n_pix, 1))
+        1, min(base_block, (base_block * 512 * 512) // max(n_pix, 1))
     )
 
     def step(k):
