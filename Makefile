@@ -18,7 +18,7 @@ test:
 # correctness also runs via the cheap pt FD check, the supervisor's units
 # are covered by checkpoint tests).
 test-fast:
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow" -n 2
 
 bench:
 	python bench.py

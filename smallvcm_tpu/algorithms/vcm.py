@@ -960,6 +960,7 @@ def render_iteration_core(
     merge_chunks: int = 1,
     merge_backend: str = "xla",
     axis_name: str | None = None,
+    camera_unroll: str = "auto",
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
 
@@ -995,7 +996,7 @@ def render_iteration_core(
     color, queries, light_verts_global, sx, sy, cam_rays = _camera_stage(
         scene, misc, verts, pix, iteration, res_x, base_seed,
         max_path_length, min_path_length, use_vc, use_vm, ppm, rng_kind,
-        vm_exchange, axis_name,
+        vm_exchange, axis_name, _resolve_unroll(camera_unroll, axis_name),
     )
     ray_count = ray_count + cam_rays
     return _merge_finish(
@@ -1007,10 +1008,29 @@ def render_iteration_core(
     )
 
 
+def _resolve_unroll(camera_unroll: str, axis_name) -> bool:
+    """Resolve the camera-bounce loop form.
+
+    "on"/"off" force it; "auto" unrolls only on a single TPU device. The
+    unroll buys the per-bounce *static* connection window (~60% fewer
+    connection lanes at maxPath 10 — a real win on the HBM-bound TPU merge
+    path) but multiplies trace/compile time ~2.5x, which is the wrong
+    trade everywhere compile time dominates: CPU test runs, and meshes
+    (whose shard_map program is traced per device count). The two forms
+    agree to float round-off (~1 ulp: the loop form masks always-dead
+    window lanes to exact zeros, but XLA's reduce/fusion order differs
+    between the loop bodies); any ONE form is deterministic."""
+    if camera_unroll == "on":
+        return True
+    if camera_unroll == "off":
+        return False
+    return axis_name is None and jax.default_backend() == "tpu"
+
+
 def _camera_stage(
     scene, misc, verts, pix, iteration, res_x, base_seed,
     max_path_length, min_path_length, use_vc, use_vm, ppm, rng_kind,
-    vm_exchange, axis_name,
+    vm_exchange, axis_name, unroll: bool = True,
 ):
     """Stage 2 (+ the cross-shard photon all-gather): camera sub-paths.
 
@@ -1046,7 +1066,7 @@ def _camera_stage(
     max_l = verts.valid.shape[0]
     queries = _empty_vertices(max_path_length, n) if use_vm else None
 
-    def bounce(i, carry):
+    def bounce(i, carry, w_conn):
         state, color, queries, rays = carry
         path_length = i + 1
 
@@ -1118,14 +1138,15 @@ def _camera_stage(
         # VC: connect to this path's light vertices (vertexcm.hxx:498-526).
         # All in-window slots batch into one [w*N] call: one occlusion
         # sweep and one pair of BSDF evaluations per bounce instead of
-        # maxL sequential N-lane launches. ``w`` shrinks with camera
-        # depth — full_len = (j+1) + 1 + path_length <= max_path_length
-        # bounds the reachable light slot j, so later bounces slice the
-        # vertex table statically instead of masking always-dead lanes
-        # (the unrolled bounce loop is what makes the per-bounce static
-        # width possible; connections are HBM-traffic-bound at ~9 ns per
-        # lane, and the window cuts total lanes by ~60% at maxPath 10).
-        w_conn = min(max_l, max(0, max_path_length - 1 - path_length))
+        # maxL sequential N-lane launches. In unrolled form ``w_conn``
+        # shrinks with camera depth — full_len = (j+1) + 1 + path_length
+        # <= max_path_length bounds the reachable light slot j, so later
+        # bounces slice the vertex table statically instead of masking
+        # always-dead lanes (connections are HBM-traffic-bound at ~9 ns
+        # per lane, and the window cuts total lanes by ~60% at maxPath
+        # 10). In loop form the window is the fixed worst case and
+        # ``in_range`` masks dead lanes to exact zeros (forms agree to
+        # float round-off; see _resolve_unroll).
         if use_vc and w_conn > 0:
             m_conn = w_conn * n
             bro = lambda a: jnp.broadcast_to(a, (w_conn,) + a.shape) \
@@ -1195,14 +1216,24 @@ def _camera_stage(
         )
         return state, color, queries, rays
 
-    # Python-unrolled bounce loop (NOT fori_loop): each bounce slices the
-    # light-vertex table to its static connection window w_conn — shapes
-    # differ per bounce, which a traced loop cannot express. Unrolling
-    # also lets XLA fuse stores/walk across bounces. maxPathLength is
-    # small (default 10), so the HLO growth is modest.
     carry = (state, color, queries, jnp.zeros((), jnp.int32))
-    for i in range(max_path_length):
-        carry = bounce(i, carry)
+    if unroll:
+        # Python-unrolled bounce loop: each bounce slices the light-vertex
+        # table to its static connection window w_conn — shapes differ per
+        # bounce, which a traced loop cannot express. Unrolling also lets
+        # XLA fuse stores/walk across bounces. Single-TPU only: the HLO
+        # growth costs ~2.5x compile time (see _resolve_unroll).
+        for i in range(max_path_length):
+            w_i = min(max_l, max(0, max_path_length - 1 - (i + 1)))
+            carry = bounce(i, carry, w_i)
+    else:
+        # fori_loop form: ONE traced bounce body with the worst-case
+        # (bounce-0) connection window; per-bounce dead lanes are masked
+        # by ``in_range`` to exact zeros (matches the unroll to ~1 ulp).
+        w_fix = min(max_l, max(0, max_path_length - 2)) if use_vc else 0
+        carry = jax.lax.fori_loop(
+            0, max_path_length, lambda i, c: bounce(i, c, w_fix), carry
+        )
     state, color, queries, cam_rays = carry
     return color, queries, light_verts_global, sx, sy, cam_rays
 
@@ -1297,7 +1328,7 @@ _STATIC = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
     "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
     "photon_factor", "query_factor", "vm_exchange", "rng_kind",
-    "merge_chunks", "merge_backend",
+    "merge_chunks", "merge_backend", "camera_unroll",
 )
 
 
@@ -1323,6 +1354,7 @@ def render_iteration(
     rng_kind: str = "threefry",
     merge_chunks: int = 1,
     merge_backend: str = "xla",
+    camera_unroll: str = "auto",
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -1332,7 +1364,7 @@ def render_iteration(
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
-        merge_backend, axis_name=None,
+        merge_backend, axis_name=None, camera_unroll=camera_unroll,
     )
     return fb
 
@@ -1359,6 +1391,7 @@ def render_iteration_with_stats(
     rng_kind: str = "threefry",
     merge_chunks: int = 1,
     merge_backend: str = "xla",
+    camera_unroll: str = "auto",
 ):
     """Like render_iteration but also returns (ray_count, merge_overflow,
     merge_pairs): traced rays (path segments + shadow/occlusion rays — the
@@ -1373,7 +1406,7 @@ def render_iteration_with_stats(
         max_path_length, min_path_length, radius_factor, radius_alpha,
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
-        merge_backend, axis_name=None,
+        merge_backend, axis_name=None, camera_unroll=camera_unroll,
     )
 
 
@@ -1392,7 +1425,7 @@ def render_iteration_with_stats(
 
 _STATIC_TRACE = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
-    "use_vc", "ppm", "rng_kind",
+    "use_vc", "ppm", "rng_kind", "camera_unroll",
 )
 
 
@@ -1410,6 +1443,7 @@ def trace_iteration(
     use_vc: bool = True,
     ppm: bool = False,
     rng_kind: str = "threefry",
+    camera_unroll: str = "auto",
 ):
     """Stages 1-2 of a single-device merging iteration (use_vm algorithms
     only; bpt/lt never merge so they use render_iteration directly).
@@ -1431,7 +1465,7 @@ def trace_iteration(
     color, queries, _lv, sx, sy, cam_rays = _camera_stage(
         scene, misc, verts, pix, iteration, res_x, base_seed,
         max_path_length, min_path_length, use_vc, True, ppm, rng_kind,
-        "allgather", None,
+        "allgather", None, _resolve_unroll(camera_unroll, None),
     )
     return fb, color, queries, verts, sx, sy, ray_count + cam_rays
 
@@ -1556,6 +1590,7 @@ def render_block_with_stats(
     rng_kind: str = "threefry",
     merge_chunks: int = 1,
     merge_backend: str = "xla",
+    camera_unroll: str = "auto",
 ):
     """``block`` consecutive iterations in ONE executable.
 
@@ -1576,6 +1611,7 @@ def render_block_with_stats(
             use_vc, use_vm, light_trace_only, ppm, pair_factor,
             photon_factor, query_factor, vm_exchange, rng_kind,
             merge_chunks, merge_backend, axis_name=None,
+            camera_unroll=camera_unroll,
         )
         return acc + img, rays + r, ovf + o, jnp.maximum(stats, st)
 

@@ -68,11 +68,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "(0 = all local; 1 forces single-device)")
     p.add_argument("--merge-backend", default="auto",
                    choices=("auto", "pallas", "xla"),
-                   help="photon-merge backend: xla = portable pair "
-                        "expansion (default; auto = xla), pallas = "
-                        "dense-slab TPU kernel (opt-in: this "
-                        "environment's tunneled runtime faults "
-                        "nondeterministically around Mosaic programs)")
+                   help="photon-merge backend: pallas = dense-slab Mosaic "
+                        "kernel FUSED inside the block executable (the "
+                        "fast, reliable single-TPU form), xla = portable "
+                        "pair expansion (CPU, meshes, differentiation). "
+                        "auto = pallas on a single TPU at >=256^2, xla "
+                        "elsewhere")
     p.add_argument("--block", type=int, default=0, dest="block_size",
                    help="iterations per device dispatch (0 = auto: 8; "
                         "any block partition is bit-exact)")
@@ -80,9 +81,12 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=("auto", "on", "off"),
                    help="supervise the render in a child process that "
                         "auto-respawns from a checkpoint if the TPU "
-                        "runtime faults (auto = off: round 3 removed the "
-                        "known fault trigger by keeping the Mosaic merge "
-                        "kernel in its own executable)")
+                        "runtime faults (auto = off: fusing the Mosaic "
+                        "merge kernel inside the block executable removed "
+                        "the known fault trigger; the residual flake is "
+                        "the FIRST execution of a freshly-compiled "
+                        "program through the remote compile service, "
+                        "which a respawn retries from cache)")
     p.add_argument("--checkpoint", default="", dest="checkpoint",
                    help="checkpoint file; resumes from it if present")
     p.add_argument("--checkpoint-every", type=int, default=0,

@@ -2,11 +2,15 @@
 
 The tunneled single-TPU runtime in this environment can fault
 (INVALID_ARGUMENT) in ways user code cannot repair — once it faults, every
-later dispatch in the process fails. Round 3 removed the known trigger
-(a Mosaic kernel embedded in a large XLA executable re-executing; the
-production merge now runs the kernel in its own executable — see
-ops/pallas_merge.py::merge_prep), so supervision is OFF by default and
-available via ``--isolate on`` as a belt-and-braces harness:
+later dispatch in the process fails. Round 3 removed the known trigger:
+what corrupts the runtime is LARGE BUFFERS CROSSING EXECUTABLE BOUNDARIES
+around a Mosaic kernel, so the production merge kernel now runs FUSED
+inside the block executable (render.py::_resolve_backend documents the
+experiment ladder). The residual flake is the FIRST execution of a
+freshly-compiled program through the remote compile service; reruns load
+from the persistent cache and are clean. Supervision is therefore OFF by
+default and available via ``--isolate on`` as a belt-and-braces harness
+(it automates exactly that retry):
 
 * the parent re-invokes the CLI as a child with periodic checkpointing
   (checkpoint.py — resume is bit-exact because inter-iteration state is

@@ -132,18 +132,51 @@ def sharded_render_iteration_with_stats(
     if n % n_dev != 0:
         raise ValueError(f"path count {n} not divisible by {n_dev} devices")
 
-    pix = _global_pix(mesh, n)
+    run = _vcm_program(
+        mesh, res_x, res_y, base_seed, max_path_length, min_path_length,
+        radius_factor, radius_alpha, use_vc, use_vm, light_trace_only,
+        ppm, pair_factor, photon_factor, query_factor, vm_exchange,
+        rng_kind, merge_backend, merge_chunks,
+    )
+    return run(scene, jnp.asarray(iteration, jnp.int32), _global_pix(mesh, n))
+
+
+# One COMPILED program per (mesh, static config): shard_map called bare
+# executes eagerly (per-primitive dispatch across the mesh — the round-3
+# dryrun-timeout regression), so the program must be built once, wrapped in
+# jax.jit, and cached. ``iteration`` stays a traced argument so the
+# progressive loop reuses one executable for every iteration.
+_VCM_PROGRAMS: dict = {}
+
+
+def _vcm_program(
+    mesh, res_x, res_y, base_seed, max_path_length, min_path_length,
+    radius_factor, radius_alpha, use_vc, use_vm, light_trace_only, ppm,
+    pair_factor, photon_factor, query_factor, vm_exchange, rng_kind,
+    merge_backend, merge_chunks,
+):
+    key = (
+        mesh, res_x, res_y, base_seed, max_path_length, min_path_length,
+        radius_factor, radius_alpha, use_vc, use_vm, light_trace_only,
+        ppm, pair_factor, photon_factor, query_factor, vm_exchange,
+        rng_kind, merge_backend, merge_chunks,
+    )
+    cached = _VCM_PROGRAMS.get(key)
+    if cached is not None:
+        return cached
+
+    n = res_x * res_y
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(AXIS)),
+        in_specs=(P(), P(), P(AXIS)),
         out_specs=(P(), P(), P(), P()),
         # Loop carries start as zeros (replicated) and become shard-varying
         # inside fori_loop; skip the static varying-axes check.
         check_vma=False,
     )
-    def run(scene_rep, pix_shard):
+    def run(scene_rep, iteration, pix_shard):
         return vcm.render_iteration_core(
             scene_rep, iteration, pix_shard, res_x, res_y, n, base_seed,
             max_path_length, min_path_length, radius_factor, radius_alpha,
@@ -153,7 +186,12 @@ def sharded_render_iteration_with_stats(
             merge_backend=merge_backend, axis_name=AXIS,
         )
 
-    return run(scene, pix)
+    run = jax.jit(run)
+    _VCM_PROGRAMS[key] = run
+    return run
+
+
+_SIMPLE_PROGRAMS: dict = {}
 
 
 def sharded_simple_iteration(
@@ -173,36 +211,43 @@ def sharded_simple_iteration(
     full-resolution framebuffer, reduced with psum. Bit-compatible with the
     single-device image up to reduction order (counter-based RNG keys off
     global pixel ids)."""
-    from ..algorithms import eyelight, pathtracer
-
     n = res_x * res_y
     n_dev = mesh.devices.size
     if n % n_dev != 0:
         raise ValueError(f"pixel count {n} not divisible by {n_dev} devices")
 
-    pix = _global_pix(mesh, n)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(AXIS)),
-        out_specs=P(),
-        check_vma=False,
+    key = (
+        mesh, algorithm, res_x, res_y, base_seed, max_path_length,
+        min_path_length, rng_kind,
     )
-    def run(scene_rep, pix_shard):
-        if algorithm == "el":
-            fb = eyelight.render_core(
-                scene_rep, iteration, pix_shard, res_x, res_y, base_seed,
-                rng_kind,
-            )
-        else:
-            fb = pathtracer.render_core(
-                scene_rep, iteration, pix_shard, res_x, res_y, base_seed,
-                max_path_length, min_path_length, rng_kind,
-            )
-        return jax.lax.psum(fb, AXIS)
+    run = _SIMPLE_PROGRAMS.get(key)
+    if run is None:
+        from ..algorithms import eyelight, pathtracer
 
-    return run(scene, pix)
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(scene_rep, iteration, pix_shard):
+            if algorithm == "el":
+                fb = eyelight.render_core(
+                    scene_rep, iteration, pix_shard, res_x, res_y,
+                    base_seed, rng_kind,
+                )
+            else:
+                fb = pathtracer.render_core(
+                    scene_rep, iteration, pix_shard, res_x, res_y,
+                    base_seed, max_path_length, min_path_length, rng_kind,
+                )
+            return jax.lax.psum(fb, AXIS)
+
+        run = jax.jit(run)
+        _SIMPLE_PROGRAMS[key] = run
+
+    return run(scene, jnp.asarray(iteration, jnp.int32), _global_pix(mesh, n))
 
 
 def training_step_spec(mesh: Mesh):
