@@ -105,8 +105,8 @@ def bench_algorithm(alg, scene, res, n):
 
     cfg = R.RenderConfig(algorithm=alg, resolution=(res, res))
     # Same block size the production driver auto-picks (el/pt batch more
-    # iterations per dispatch — they carry no merge-cap state).
-    block = R.DEFAULT_BLOCK_SIMPLE if alg in ("el", "pt") else BLOCK
+    # iterations per dispatch; larger resolutions shrink the block).
+    block = R.auto_block_size(cfg, alg)
     t0 = time.time()
     runner = R._make_block_runner(scene, cfg, alg)
     runner(0, block)

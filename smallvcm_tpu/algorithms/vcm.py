@@ -961,6 +961,7 @@ def render_iteration_core(
     merge_backend: str = "xla",
     axis_name: str | None = None,
     camera_unroll: str = "auto",
+    trace_backend: str = "xla",
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
 
@@ -972,6 +973,8 @@ def render_iteration_core(
     MIS constants always use the *global* light path count
     (vertexcm.hxx:303-308). Returns (fb V3 planes -> array, ray_count).
     """
+    from ..ops import intersect as intersect_ops
+
     n = pix.shape[0]
     misc = compute_misc(
         scene, iteration, n_paths_global, radius_factor, radius_alpha,
@@ -980,25 +983,27 @@ def render_iteration_core(
 
     fb = new_fb_planes(res_x, res_y)
 
-    # ---- Stage 1: light sub-paths.
-    verts, fb, ray_count = trace_light_paths(
-        scene, misc, pix, iteration, fb, base_seed, max_path_length,
-        min_path_length, use_vc, use_vm, light_trace_only, rng_kind,
-    )
+    with intersect_ops.active_backend(trace_backend):
+        # ---- Stage 1: light sub-paths.
+        verts, fb, ray_count = trace_light_paths(
+            scene, misc, pix, iteration, fb, base_seed, max_path_length,
+            min_path_length, use_vc, use_vm, light_trace_only, rng_kind,
+        )
 
-    if light_trace_only:
-        out = fb.to_array()
-        if axis_name is not None:
-            out = jax.lax.psum(out, axis_name)
-            ray_count = jax.lax.psum(ray_count, axis_name)
-        return out, ray_count, jnp.zeros((), jnp.int32), jnp.zeros((3,), jnp.int32)
+        if light_trace_only:
+            out = fb.to_array()
+            if axis_name is not None:
+                out = jax.lax.psum(out, axis_name)
+                ray_count = jax.lax.psum(ray_count, axis_name)
+            return (out, ray_count, jnp.zeros((), jnp.int32),
+                    jnp.zeros((3,), jnp.int32))
 
-    color, queries, light_verts_global, sx, sy, cam_rays = _camera_stage(
-        scene, misc, verts, pix, iteration, res_x, base_seed,
-        max_path_length, min_path_length, use_vc, use_vm, ppm, rng_kind,
-        vm_exchange, axis_name, _resolve_unroll(camera_unroll, axis_name),
-    )
-    ray_count = ray_count + cam_rays
+        color, queries, light_verts_global, sx, sy, cam_rays = _camera_stage(
+            scene, misc, verts, pix, iteration, res_x, base_seed,
+            max_path_length, min_path_length, use_vc, use_vm, ppm, rng_kind,
+            vm_exchange, axis_name, _resolve_unroll(camera_unroll, axis_name),
+        )
+        ray_count = ray_count + cam_rays
     return _merge_finish(
         scene, misc, n, n_paths_global, verts, fb, color, queries,
         light_verts_global, sx, sy, ray_count,
@@ -1328,7 +1333,7 @@ _STATIC = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
     "use_vc", "use_vm", "light_trace_only", "ppm", "pair_factor",
     "photon_factor", "query_factor", "vm_exchange", "rng_kind",
-    "merge_chunks", "merge_backend", "camera_unroll",
+    "merge_chunks", "merge_backend", "camera_unroll", "trace_backend",
 )
 
 
@@ -1355,6 +1360,7 @@ def render_iteration(
     merge_chunks: int = 1,
     merge_backend: str = "xla",
     camera_unroll: str = "auto",
+    trace_backend: str = "xla",
 ) -> jnp.ndarray:
     """Single-device iteration -> accumulation image [resY,resX,3]."""
     n = res_x * res_y
@@ -1365,6 +1371,7 @@ def render_iteration(
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
         merge_backend, axis_name=None, camera_unroll=camera_unroll,
+        trace_backend=trace_backend,
     )
     return fb
 
@@ -1392,6 +1399,7 @@ def render_iteration_with_stats(
     merge_chunks: int = 1,
     merge_backend: str = "xla",
     camera_unroll: str = "auto",
+    trace_backend: str = "xla",
 ):
     """Like render_iteration but also returns (ray_count, merge_overflow,
     merge_pairs): traced rays (path segments + shadow/occlusion rays — the
@@ -1407,6 +1415,7 @@ def render_iteration_with_stats(
         use_vc, use_vm, light_trace_only, ppm, pair_factor,
         photon_factor, query_factor, vm_exchange, rng_kind, merge_chunks,
         merge_backend, axis_name=None, camera_unroll=camera_unroll,
+        trace_backend=trace_backend,
     )
 
 
@@ -1425,7 +1434,7 @@ def render_iteration_with_stats(
 
 _STATIC_TRACE = (
     "res_x", "res_y", "base_seed", "max_path_length", "min_path_length",
-    "use_vc", "ppm", "rng_kind", "camera_unroll",
+    "use_vc", "ppm", "rng_kind", "camera_unroll", "trace_backend",
 )
 
 
@@ -1444,6 +1453,7 @@ def trace_iteration(
     ppm: bool = False,
     rng_kind: str = "threefry",
     camera_unroll: str = "auto",
+    trace_backend: str = "xla",
 ):
     """Stages 1-2 of a single-device merging iteration (use_vm algorithms
     only; bpt/lt never merge so they use render_iteration directly).
@@ -1452,21 +1462,24 @@ def trace_iteration(
     feed verbatim to merge_finish_iteration. Shapes depend only on the
     resolution and path length, never on the merge caps.
     """
+    from ..ops import intersect as intersect_ops
+
     n = res_x * res_y
     pix = jnp.arange(n, dtype=jnp.uint32)
     misc = compute_misc(
         scene, iteration, n, radius_factor, radius_alpha, use_vc, True
     )
     fb = new_fb_planes(res_x, res_y)
-    verts, fb, ray_count = trace_light_paths(
-        scene, misc, pix, iteration, fb, base_seed, max_path_length,
-        min_path_length, use_vc, True, False, rng_kind,
-    )
-    color, queries, _lv, sx, sy, cam_rays = _camera_stage(
-        scene, misc, verts, pix, iteration, res_x, base_seed,
-        max_path_length, min_path_length, use_vc, True, ppm, rng_kind,
-        "allgather", None, _resolve_unroll(camera_unroll, None),
-    )
+    with intersect_ops.active_backend(trace_backend):
+        verts, fb, ray_count = trace_light_paths(
+            scene, misc, pix, iteration, fb, base_seed, max_path_length,
+            min_path_length, use_vc, True, False, rng_kind,
+        )
+        color, queries, _lv, sx, sy, cam_rays = _camera_stage(
+            scene, misc, verts, pix, iteration, res_x, base_seed,
+            max_path_length, min_path_length, use_vc, True, ppm, rng_kind,
+            "allgather", None, _resolve_unroll(camera_unroll, None),
+        )
     return fb, color, queries, verts, sx, sy, ray_count + cam_rays
 
 
@@ -1591,6 +1604,7 @@ def render_block_with_stats(
     merge_chunks: int = 1,
     merge_backend: str = "xla",
     camera_unroll: str = "auto",
+    trace_backend: str = "xla",
 ):
     """``block`` consecutive iterations in ONE executable.
 
@@ -1611,7 +1625,7 @@ def render_block_with_stats(
             use_vc, use_vm, light_trace_only, ppm, pair_factor,
             photon_factor, query_factor, vm_exchange, rng_kind,
             merge_chunks, merge_backend, axis_name=None,
-            camera_unroll=camera_unroll,
+            camera_unroll=camera_unroll, trace_backend=trace_backend,
         )
         return acc + img, rays + r, ovf + o, jnp.maximum(stats, st)
 

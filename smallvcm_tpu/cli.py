@@ -74,6 +74,14 @@ def make_parser() -> argparse.ArgumentParser:
                         "pair expansion (CPU, meshes, differentiation). "
                         "auto = pallas on a single TPU at >=256^2, xla "
                         "elsewhere")
+    p.add_argument("--trace-backend", default="auto",
+                   choices=("auto", "pallas", "xla"),
+                   help="ray-sweep backend: xla = dense broadcast sweep "
+                        "(default; at SmallVCM's ~32 primitives XLA "
+                        "matches the kernel, measured 1.47 vs 1.52 ms "
+                        "per 262k-ray sweep), pallas = VMEM-resident "
+                        "Mosaic kernel fused in the block executable "
+                        "(single TPU; for primitive-heavy scenes)")
     p.add_argument("--block", type=int, default=0, dest="block_size",
                    help="iterations per device dispatch (0 = auto: 8; "
                         "any block partition is bit-exact)")
@@ -181,6 +189,7 @@ def main(argv=None) -> int:
         resolution=tuple(args.resolution),
         rng_kind=args.rng_kind,
         merge_backend=args.merge_backend,
+        trace_backend=args.trace_backend,
         block_size=args.block_size,
         mesh=mesh,
     )

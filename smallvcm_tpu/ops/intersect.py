@@ -16,6 +16,7 @@ sqrt(0) keep masked lanes NaN-free in forward and backward passes.
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -24,6 +25,25 @@ from ..core.vec3 import V3, dot, normalize, v3_where
 from ..scene.scene import SceneData
 
 BIG_DIST = 1e36
+
+# Trace-time sweep backend: "xla" (dense [N,P] broadcasts, portable and
+# differentiable) or "pallas" (VMEM-resident Mosaic kernel, single-TPU;
+# ops/pallas_intersect.py). A *trace-time* switch: render_iteration_core
+# sets it (from its static trace_backend arg) around tracing, so it is
+# baked into each jitted program and participates in the jit cache key.
+_ACTIVE_BACKEND = "xla"
+
+
+@contextlib.contextmanager
+def active_backend(name: str):
+    """Select the sweep backend for intersect/occluded traced inside."""
+    global _ACTIVE_BACKEND
+    prev = _ACTIVE_BACKEND
+    _ACTIVE_BACKEND = name
+    try:
+        yield
+    finally:
+        _ACTIVE_BACKEND = prev
 
 
 class Hit(NamedTuple):
@@ -102,6 +122,14 @@ def _sphere_distances(scene: SceneData, org: V3, direction: V3, tmin):
 def intersect(scene: SceneData, org: V3, direction: V3, tmin=None) -> Hit:
     """Closest-hit over all primitives; org/direction V3 of [N]."""
     n = org.x.shape[0]
+    if _ACTIVE_BACKEND.startswith("pallas") and tmin is None:
+        from .pallas_intersect import intersect_pallas
+
+        best_t, best_p = intersect_pallas(
+            scene, org, direction,
+            interpret=(_ACTIVE_BACKEND == "pallas_interpret"),
+        )
+        return resolve_hit(scene, org, direction, best_t, best_p)
     if tmin is None:
         tmin = jnp.zeros((n,), org.x.dtype)
 
@@ -111,11 +139,19 @@ def intersect(scene: SceneData, org: V3, direction: V3, tmin=None) -> Hit:
 
     best = jnp.argmin(all_t, axis=1)
     best_t = jnp.min(all_t, axis=1)
+    return resolve_hit(scene, org, direction, best_t, best)
+
+
+def resolve_hit(scene: SceneData, org: V3, direction: V3,
+                best_t, best) -> Hit:
+    """Closest-hit attribute resolution (material/normal/light) from the
+    winning primitive index (tri-major, -1 or any index on miss — every
+    attribute is masked by ``hit``)."""
     hit = best_t < BIG_DIST
 
     num_tris = scene.tri_mat.shape[0]
     is_tri = best < num_tris
-    tri_idx = jnp.minimum(best, num_tris - 1)
+    tri_idx = jnp.clip(best, 0, num_tris - 1)
 
     mat_id = scene.tri_mat[tri_idx]
     normal = scene.tri_normal[tri_idx]
@@ -144,6 +180,15 @@ def occluded(scene: SceneData, point: V3, direction: V3, dist) -> jnp.ndarray:
     org = point + direction * EPS_RAY
     tmin = jnp.zeros(point.x.shape, point.x.dtype)
     tmax = dist - 2.0 * EPS_RAY
+
+    if _ACTIVE_BACKEND.startswith("pallas"):
+        from .pallas_intersect import intersect_pallas
+
+        best_t, _ = intersect_pallas(
+            scene, org, direction,
+            interpret=(_ACTIVE_BACKEND == "pallas_interpret"),
+        )
+        return best_t < tmax
 
     tri_t = _tri_distances(scene, org, direction, tmin)
     sph_t = _sphere_distances(scene, org, direction, tmin)

@@ -15,17 +15,17 @@ Closest-hit only — occlusion tests reuse the same kernel via a tmax compare
 on the returned distance (cheaper than a dedicated any-hit on TPU since the
 sweep is compute-bound on the VPU either way).
 
-Status (round 3): validated-but-not-wired, deliberately. Embedding Mosaic
-kernels inside the large trace executables is exactly the configuration
-this environment's tunneled TPU runtime corrupts nondeterministically
-(INVALID_ARGUMENT on later executions; see the experiment ladder in
-scripts/repro_mosaic_fault.py and ops/pallas_merge.py::merge_prep), and
-the trace loop calls intersect ~20x per iteration — per-call executable
-splitting (the merge kernel's workaround) would cost ~20 x 40 ms dispatch
-round-trips, far more than the ~0.7 ms/call the kernel saves. On a
-directly-attached TPU this wires in trivially (swap ops/intersect.intersect
-for intersect_pallas in the bounce loops); here the XLA sweep is the
-right production choice.
+Status (round 4): WIRED and measured, opt-in (--trace-backend pallas /
+trace_backend="pallas"), running FUSED inside the block executable
+alongside the merge kernel — round 3 established that fused-in-program
+Mosaic kernels re-execute reliably on this runtime, voiding the earlier
+reason for staying unwired. Head-to-head on the v5e it does NOT beat XLA
+at SmallVCM's primitive counts: 1.52 ms vs XLA's 1.47 ms per 262k-ray
+sweep, identical 332 ms/iter full-VCM (XLA fuses the ~32-primitive dense
+sweep to the same speed, and sweeps total only ~20 ms of the iteration),
+with images matching to ~1e-8. So the default stays XLA
+(render.py::_resolve_trace_backend); this kernel is for primitive-heavy
+scenes where a VMEM-resident loop would pay.
 """
 
 from __future__ import annotations
@@ -154,8 +154,10 @@ def _scene_tables(scene):
     return tri, tri_n, sph
 
 
-@functools.partial(jax.jit, static_argnames=("n_tri", "n_sph"))
-def _sweep(tri, tri_n, sph, ox, oy, oz, dx, dy, dz, n_tri: int, n_sph: int):
+@functools.partial(jax.jit,
+                   static_argnames=("n_tri", "n_sph", "interpret"))
+def _sweep(tri, tri_n, sph, ox, oy, oz, dx, dy, dz, n_tri: int, n_sph: int,
+           interpret: bool = False):
     n = ox.shape[0]
     n_pad = ((n + _TILE - 1) // _TILE) * _TILE
     pad = lambda a: jnp.pad(a, (0, n_pad - n))
@@ -179,11 +181,12 @@ def _sweep(tri, tri_n, sph, ox, oy, oz, dx, dy, dz, n_tri: int, n_sph: int):
             jax.ShapeDtypeStruct((n_pad,), jnp.float32),
             jax.ShapeDtypeStruct((n_pad,), jnp.int32),
         ),
+        interpret=interpret,
     )(tri, tri_n, sph, ox, oy, oz, dx, dy, dz)
     return dist[:n], prim[:n]
 
 
-def intersect_pallas(scene, org: V3, direction: V3):
+def intersect_pallas(scene, org: V3, direction: V3, interpret: bool = False):
     """Closest-hit sweep -> (dist [N], prim_index [N] or -1).
 
     Matches ops/intersect.py numerics; hit attribute resolution (material,
@@ -195,4 +198,5 @@ def intersect_pallas(scene, org: V3, direction: V3):
     return _sweep(
         tri, tri_n, sph, org.x, org.y, org.z,
         direction.x, direction.y, direction.z, n_tri, n_sph,
+        interpret=interpret,
     )

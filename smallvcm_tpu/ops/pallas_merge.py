@@ -201,9 +201,11 @@ def _tile_kernel(
 
     @pl.when(total > 0)
     def _():
-        # Fill the pipeline: NBUF slab fetches in flight. The slabs are
-        # small (PF*SLAB*4 bytes); per-DMA latency, not HBM bandwidth,
-        # bounds the stream, so depth matters more than size.
+        # Fill the pipeline: NBUF-1 slab fetches started here; the body
+        # starts one more per iteration, so steady state keeps NBUF-1 in
+        # flight plus the one being consumed. The slabs are small
+        # (PF*SLAB*4 bytes); per-DMA latency, not HBM bandwidth, bounds
+        # the stream, so depth matters more than size.
         for j in range(NBUF - 1):
             @pl.when(j < total)
             def _(j=j):
@@ -314,8 +316,12 @@ def _compact_sorted(planes, keys, cap: int):
     count = jnp.sum(valid.astype(jnp.int32))
     order = grid_ops.stable_radix_argsort(keys.astype(jnp.uint32), 20)
     m = keys.shape[0]
+    # cap > m tail: pad with m-1 (the LAST sorted column — a sentinel-key
+    # dead slot whenever any slot is dead, since the sort is ascending),
+    # not 0, so padded slots can never alias the first live column.
     src = (order[:cap] if cap <= m
-           else jnp.pad(order, (0, cap - m))).astype(jnp.int32)
+           else jnp.pad(order, (0, cap - m),
+                        constant_values=m - 1)).astype(jnp.int32)
     return planes[:, src], src, count, jnp.maximum(count - cap, 0)
 
 
@@ -574,7 +580,8 @@ def run_tile_kernel(
     max_path_length: int, min_path_length: int, ppm: bool,
     interpret: bool = False,
 ):
-    """The bare Mosaic kernel over pre-baked tables -> [query_cap, 8].
+    """The bare Mosaic kernel over pre-baked tables -> channel-major
+    [8, n_tiles*QTILE] result planes.
 
     Kept free of surrounding XLA work on purpose: this exact program
     re-executes reliably on the tunneled runtime (see merge_prep's note).

@@ -97,6 +97,10 @@ class RenderConfig:
     # otherwise. "pallas_interpret" runs the kernel in interpreter mode
     # (tests).
     merge_backend: str = "auto"
+    # ray-sweep backend: "pallas" = VMEM-resident Mosaic kernel fused in
+    # the block executable (single TPU), "xla" = dense broadcast sweep
+    # (portable, differentiable), "auto" = pallas on single-device TPU.
+    trace_backend: str = "auto"
     # Caps frozen = sized by measurement/cache; the block loop still grows
     # them (and re-renders the block) on the rare overflow.
     merge_caps_frozen: bool = False
@@ -169,6 +173,26 @@ def _resolve_backend(cfg: RenderConfig, use_vm: bool) -> str:
     return backend
 
 
+def _resolve_trace_backend(cfg: RenderConfig) -> str:
+    """Resolve trace_backend 'auto' -> xla.
+
+    Measured head-to-head on the v5e (round 4): one 262k-ray closest-hit
+    sweep costs 1.47 ms under XLA vs 1.52 ms under the Mosaic kernel, and
+    a full 512^2 VCM iteration is 332 ms/iter under either — at SmallVCM's
+    ~32 primitives XLA fuses the dense sweep to the same speed, and ALL
+    sweeps together are only ~20 ms of the iteration, so there is no
+    headroom for a kernel win. The kernel stays available ('pallas',
+    fused in the block executable; images match XLA to ~1e-8) for scenes
+    with enough primitives that a VMEM-resident sweep could matter."""
+    backend = cfg.trace_backend
+    if backend == "auto":
+        backend = "xla"
+    if backend == "pallas" and (cfg.mesh is not None
+                                or jax.default_backend() != "tpu"):
+        backend = "xla"
+    return backend
+
+
 # ---------------------------------------------------------------------------
 # Merge-cap sizing: measure once, persist, reuse.
 # ---------------------------------------------------------------------------
@@ -186,10 +210,14 @@ def _caps_key(scene: SceneData, cfg: RenderConfig, alg: str,
     n_tri = int(scene.tri_mat.shape[0])
     n_sph = int(scene.sph_mat.shape[0])
     n_lights = int(scene.lights.kind.shape[0])
+    # base_seed/rng_kind are part of the key: caps are measured at
+    # iteration 0 under ONE rng stream, and a cap sized under one seed
+    # can (rarely) overflow under another (advisor round 3).
     return (
         f"{alg}|{backend}|{res_x}x{res_y}|tri{n_tri}sph{n_sph}"
         f"l{n_lights}|pl{cfg.max_path_length}-{cfg.min_path_length}"
         f"|r{cfg.radius_factor}a{cfg.radius_alpha}"
+        f"|s{cfg.base_seed}|{cfg.rng_kind}"
     )
 
 
@@ -216,7 +244,8 @@ def _save_cached_caps(key: str, caps: dict) -> None:
 
 
 def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
-                       backend: str, use_vc: bool, ppm: bool) -> None:
+                       backend: str, use_vc: bool, ppm: bool,
+                       trace_backend: str = "xla") -> None:
     """Freeze photon/query (+pair) caps before compiling merge programs.
 
     Sizes from a persisted cache when available, else traces iteration 0
@@ -241,7 +270,7 @@ def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
     traced = vcm.trace_iteration(
         scene, 0, res_x, res_y, cfg.base_seed, cfg.max_path_length,
         cfg.min_path_length, cfg.radius_factor, cfg.radius_alpha,
-        use_vc, ppm, cfg.rng_kind,
+        use_vc, ppm, cfg.rng_kind, trace_backend=trace_backend,
     )
     if backend.startswith("pallas"):
         # The pallas measure depends on the compaction caps; ladder them.
@@ -356,8 +385,13 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
 
     use_vc, use_vm, lt_only, ppm = _VCM_FLAGS[alg]
     backend = _resolve_backend(cfg, use_vm)
+    trace_be = _resolve_trace_backend(cfg)
     if use_vm and cfg.mesh is None:
-        _ensure_merge_caps(scene, cfg, alg, backend, use_vc, ppm)
+        # Cap sizing always uses the XLA sweep: its standalone trace
+        # executable hands large buffers across an executable boundary,
+        # exactly the configuration that destabilizes Mosaic on this
+        # runtime (counts are backend-independent, so sized caps carry).
+        _ensure_merge_caps(scene, cfg, alg, backend, use_vc, ppm, "xla")
 
     caps_key = _caps_key(scene, cfg, alg, backend)
     is_pallas = backend.startswith("pallas") and use_vm
@@ -405,6 +439,7 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
                     query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
                     merge_chunks=chunks,
                     merge_backend=backend if is_pallas else "xla",
+                    trace_backend=trace_be,
                 )
             if not use_vm:
                 jax.device_get(ovf)
@@ -471,6 +506,22 @@ def _maybe_inject_test_fault(done: int) -> None:
 # ---------------------------------------------------------------------------
 
 
+def auto_block_size(cfg: RenderConfig, alg: str) -> int:
+    """Iterations per dispatch. Scales inversely with resolution: one
+    dispatch should stay ~seconds of device time (the tunneled runtime
+    kills workers on very long single executions — observed with
+    8-iteration blocks at 1024^2), and per-iteration work grows
+    ~quadratically (paths x photon density at a fixed merge radius).
+    bench.py reuses this so its timings match production dispatch shapes.
+    """
+    n_pix = cfg.resolution[0] * cfg.resolution[1]
+    base_block = (DEFAULT_BLOCK_SIMPLE if alg in ("el", "pt")
+                  else DEFAULT_BLOCK)
+    return cfg.block_size or max(
+        1, min(base_block, (base_block * 512 * 512) // max(n_pix, 1))
+    )
+
+
 def render_single_iteration(
     scene: SceneData, cfg: RenderConfig, iteration: int
 ) -> jnp.ndarray:
@@ -505,17 +556,7 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
     accum = (jnp.zeros((res_y, res_x, 3), jnp.float32)
              if accum is None else accum)
     done = start_iter
-    # Auto block scales inversely with resolution: one dispatch should
-    # stay ~seconds of device time (the tunneled runtime kills workers on
-    # very long single executions — observed with 8-iteration blocks at
-    # 1024^2), and per-iteration work grows ~quadratically (paths x
-    # photon density at a fixed merge radius).
-    n_pix = res_x * res_y
-    base_block = (DEFAULT_BLOCK_SIMPLE if alg in ("el", "pt")
-                  else DEFAULT_BLOCK)
-    auto_block = cfg.block_size or max(
-        1, min(base_block, (base_block * 512 * 512) // max(n_pix, 1))
-    )
+    auto_block = auto_block_size(cfg, alg)
 
     def step(k):
         nonlocal accum, done
