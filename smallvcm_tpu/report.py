@@ -4,94 +4,145 @@ Mirrors FullReport (smallvcm.cxx:156-263): renders every combination,
 saves gamma-2.2 BMPs with the reference's default filenames, emits the
 thumbnail matrix with the good/poor border colors and the 4-way
 PPM/BPM/BPT/VCM split per scene.
+
+Robustness (round 4; round 3's only full-res attempt died at 20/28
+images with no index.html): every combination renders in its OWN
+subprocess through the CLI — one retry on the tunneled runtime's
+first-execution flake (the persistent compile cache makes the retry
+clean), and a fresh process per combo also lets the fast fused-Mosaic
+merge run for every merging algorithm. Results (elapsed/iterations)
+persist in ``report_state.json`` and ``index.html`` is rewritten after
+every combination, so a killed run resumes where it left off and always
+leaves a viewable report behind.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import re
+import subprocess
+import sys
 import time
+from pathlib import Path
 
-from .io.framebuffer import save_bmp
 from .io.html import GOOD_ALGORITHMS, GREEN, NONE, POOR_ALGORITHMS, RED, HtmlWriter
-from .render import ALGORITHM_NAMES, ALGORITHMS, RenderConfig, render
-from .scene.scene import SCENE_CONFIGS, get_scene_name, load_cornell_box
+from .render import ALGORITHM_NAMES, ALGORITHMS
+from .scene.scene import SCENE_CONFIGS, get_scene_name
+
+_DONE_RE = re.compile(r"done in ([0-9.]+) s \((\d+) iterations?\)")
+
+STATE_FILE = "report_state.json"
 
 
-def full_report(args) -> None:
+def _render_combo(scene_id: int, alg: str, filename: str, args,
+                  retries: int = 1):
+    """Render one (scene, algorithm) via the CLI in a subprocess.
+
+    Returns (elapsed_seconds, iterations). Retries once on failure: the
+    known failure mode is the FIRST execution of a freshly-compiled
+    program faulting through the remote compile service; the rerun loads
+    from the persistent cache and is clean (isolate.py documents this).
+    """
+    cmd = [
+        sys.executable, "-m", "smallvcm_tpu.cli",
+        "-s", str(scene_id), "-a", alg, "-o", filename,
+        "--resolution", str(args.resolution[0]), str(args.resolution[1]),
+        "--seed", str(args.seed),
+        "--max-path-length", str(args.max_path_length),
+        "--min-path-length", str(args.min_path_length),
+        "--radius-factor", str(args.radius_factor),
+        "--radius-alpha", str(args.radius_alpha),
+    ]
+    if args.max_time > 0:
+        cmd += ["-t", str(args.max_time)]
+    else:
+        cmd += ["-i", str(args.iterations)]
+
+    last = None
+    for attempt in range(retries + 1):
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        m = _DONE_RE.search(proc.stdout or "")
+        if proc.returncode == 0 and m and os.path.exists(filename):
+            return float(m.group(1)), int(m.group(2))
+        last = (proc.returncode, (proc.stderr or "").strip()[-400:])
+        print(f"  [{alg}] attempt {attempt} failed (rc={last[0]}); "
+              f"retrying via compile cache", flush=True)
+    raise RuntimeError(
+        f"report combo scene {scene_id} alg {alg} failed twice: {last}"
+    )
+
+
+def _load_state() -> dict:
+    try:
+        return json.loads(Path(STATE_FILE).read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_state(state: dict) -> None:
+    Path(STATE_FILE).write_text(json.dumps(state, indent=1))
+
+
+def _write_html(results: dict, args) -> None:
+    """(Re)build index.html from every completed combination so far."""
+    from .cli import build_default_filename
+
     html = HtmlWriter("index.html")
     split_acronyms = ["PPM", "BPM", "BPT", "VCM"]
+    resolution = tuple(args.resolution)
 
-    start = time.time()
     for scene_id, scene_config in enumerate(SCENE_CONFIGS):
-        resolution = tuple(args.resolution)
-        scene = load_cornell_box(resolution, scene_config)
         scene_name, _ = get_scene_name(scene_config)
         html.add_scene(scene_name)
-        print(f"Scene: {scene_name}")
-
         split_files = ["", "", "", ""]
         split_borders = [NONE] * 4
-
-        # Merge caps are scene/resolution properties, not algorithm
-        # properties: carry the sized caps from one merging algorithm to
-        # the next so only the first pays the sizing recompiles (the
-        # ladder still grows them if an algorithm needs more).
-        sized_caps = {}
-
         for alg in ALGORITHMS:
-            cfg = RenderConfig(
-                algorithm=alg,
-                iterations=args.iterations,
-                max_time=args.max_time,
-                resolution=resolution,
-                base_seed=args.seed,
-                max_path_length=args.max_path_length,
-                min_path_length=args.min_path_length,
-                radius_factor=args.radius_factor,
-                radius_alpha=args.radius_alpha,
-                # The report renders several merging algorithms in one
-                # process; the pallas backend holds at most one Mosaic
-                # kernel shape per process (see render.py), so pin the
-                # portable XLA merge here.
-                merge_backend="xla",
-                **sized_caps,
-            )
-            print(f"Running {ALGORITHM_NAMES[alg]}... ", end="", flush=True)
-            img, elapsed, iters = render(scene, cfg)
-            print(f"done in {elapsed:.2f} s")
-            if alg in ("ppm", "bpm", "vcm"):
-                sized_caps = dict(
-                    pair_factor=max(cfg.pair_factor,
-                                    sized_caps.get("pair_factor", 0.0)),
-                    photon_factor=max(cfg.photon_factor,
-                                      sized_caps.get("photon_factor", 0.0)),
-                    query_factor=max(cfg.query_factor,
-                                     sized_caps.get("query_factor", 0.0)),
-                )
-
-            from .cli import build_default_filename
-
             filename = build_default_filename(scene_config, alg)
-            save_bmp(img, filename, gamma=2.2)
-
+            rec = results.get(filename)
+            if rec is None:
+                continue
             border = NONE
             if alg in POOR_ALGORITHMS[scene_id]:
                 border = RED
             if alg in GOOD_ALGORITHMS[scene_id]:
                 border = GREEN
-
             html.add_rendering(
-                ALGORITHM_NAMES[alg], filename, elapsed, border,
-                f"<br/>Iterations: {iters}",
+                ALGORITHM_NAMES[alg], filename, rec["elapsed"], border,
+                f"<br/>Iterations: {rec['iters']}",
             )
-
             if alg in ("ppm", "bpm", "bpt", "vcm"):
                 idx = ("ppm", "bpm", "bpt", "vcm").index(alg)
                 split_files[idx] = filename
                 split_borders[idx] = border
-
         html.add_four_way_split(
             split_files, split_acronyms, split_borders, resolution[0]
         )
-
     html.close()
+
+
+def full_report(args) -> None:
+    from .cli import build_default_filename
+
+    state = _load_state()
+    start = time.time()
+    for scene_id, scene_config in enumerate(SCENE_CONFIGS):
+        scene_name, _ = get_scene_name(scene_config)
+        print(f"Scene: {scene_name}")
+        for alg in ALGORITHMS:
+            filename = build_default_filename(scene_config, alg)
+            if filename in state and os.path.exists(filename):
+                print(f"Running {ALGORITHM_NAMES[alg]}... "
+                      f"already done ({state[filename]['elapsed']:.2f} s)",
+                      flush=True)
+                continue
+            print(f"Running {ALGORITHM_NAMES[alg]}... ", end="", flush=True)
+            elapsed, iters = _render_combo(scene_id, alg, filename, args)
+            print(f"done in {elapsed:.2f} s")
+            state[filename] = {"elapsed": elapsed, "iters": iters,
+                               "scene": scene_id, "alg": alg}
+            _save_state(state)
+            _write_html(state, args)
+
+    _write_html(state, args)
     print(f"Whole run took {time.time() - start:.2f} s")
