@@ -44,6 +44,14 @@ def _render_combo(scene_id: int, alg: str, filename: str, args,
     program faulting through the remote compile service; the rerun loads
     from the persistent cache and is clean (isolate.py documents this).
     """
+    # The report typically runs with cwd set to the OUTPUT directory;
+    # make the package importable in the child regardless.
+    env = dict(os.environ)
+    pkg_root = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = (
+        pkg_root + os.pathsep + env["PYTHONPATH"]
+        if env.get("PYTHONPATH") else pkg_root
+    )
     cmd = [
         sys.executable, "-m", "smallvcm_tpu.cli",
         "-s", str(scene_id), "-a", alg, "-o", filename,
@@ -61,7 +69,7 @@ def _render_combo(scene_id: int, alg: str, filename: str, args,
 
     last = None
     for attempt in range(retries + 1):
-        proc = subprocess.run(cmd, capture_output=True, text=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
         m = _DONE_RE.search(proc.stdout or "")
         if proc.returncode == 0 and m and os.path.exists(filename):
             return float(m.group(1)), int(m.group(2))
