@@ -35,6 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def run_ours(scene_id, alg, iters, res, block, seed, max_path_length=10):
     import jax.numpy as jnp
 
+    from smallvcm_tpu.io.framebuffer import load_hdr, save_hdr
     from smallvcm_tpu.render import (RenderConfig, _make_block_runner,
                                      resolve_algorithm)
     from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
@@ -46,16 +47,29 @@ def run_ours(scene_id, alg, iters, res, block, seed, max_path_length=10):
     means = []
     t0 = time.time()
     done = 0
+    acc = None
     while done < iters:
         k = min(block, iters - done)
         img = runner(done, k)
+        acc = img if acc is None else acc + img
         means.append(float(jnp.mean(img)) / k)
         done += k
     dt = time.time() - t0
     m = np.array(means)
+    # mean_rgbe: the accumulated image passed through the SAME RGBE
+    # encode/decode as the reference HDRs. The +0.5-quantum decode is
+    # unbiased only for noisy pixels; near-constant bright pixels (a
+    # directly-viewed light panel) decode up to +0.12% high, so raw-vs-
+    # decoded comparisons manufacture a fake deficit (the round-3 verdict's
+    # pooled -3.6 sigma). Compare mean_rgbe against reference HDR means.
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".hdr") as tf:
+        save_hdr(np.asarray(acc) / iters, tf.name)
+        mean_rgbe = float(load_hdr(tf.name).mean())
     return dict(
         alg=alg, scene=scene_id, iters=iters, block=block,
-        mean=float(m.mean()), se=float(m.std(ddof=1) / np.sqrt(len(m))),
+        mean=float(m.mean()), mean_rgbe=mean_rgbe,
+        se=float(m.std(ddof=1) / np.sqrt(len(m))),
         sigma_block=float(m.std(ddof=1)), n_blocks=len(m), wall_s=dt,
     )
 

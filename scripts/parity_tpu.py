@@ -52,7 +52,7 @@ def main():
     ensure_reference()
     WORK.mkdir(parents=True, exist_ok=True)
 
-    from smallvcm_tpu.io.framebuffer import load_hdr
+    from smallvcm_tpu.io.framebuffer import load_hdr, save_hdr
     from smallvcm_tpu.render import ALGORITHMS, RenderConfig, render
     from smallvcm_tpu.scene.scene import SCENE_CONFIGS, get_scene_name, load_cornell_box
 
@@ -74,8 +74,18 @@ def main():
                                resolution=(512, 512))
             t0 = time.time()
             img, elapsed, iters = render(scene, cfg)
-            mine = np.asarray(img)
             wall = time.time() - t0
+            # Round-trip OUR image through the same RGBE encode/decode the
+            # reference HDR went through. The +0.5-quantum decode offset is
+            # unbiased only for pixels noisy across a quantization bin;
+            # near-CONSTANT bright pixels (the directly-viewed light panel,
+            # sun-lit patches) decode up to +0.12% high, so comparing our
+            # RAW floats against the decoded reference manufactures a fake
+            # systematic "energy deficit" (round-4 audit: scene-1 pt read
+            # -0.081% raw but -0.011% after identical quantization).
+            rt = WORK / f"mine_s{scene_id}_{alg}_i{args.iters}.hdr"
+            save_hdr(np.asarray(img), str(rt))
+            mine = load_hdr(str(rt))
 
             bm, br = block_mean(mine), block_mean(ref)
             rel = np.abs(bm - br) / (br + 1e-3)
