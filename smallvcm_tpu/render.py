@@ -575,6 +575,10 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
     if cfg.max_time > 0:
         # First two iterations run singly: they settle caps and give a
         # per-iteration time estimate before committing to full blocks.
+        # Block sizes are restricted to {1, auto_block}: every distinct
+        # block size is a separate compiled program, and a fresh
+        # program's FIRST execution is the runtime's residual flake
+        # window — two shapes per run is the maximum worth risking.
         while time.time() - start < cfg.max_time:
             rendered = done - start_iter
             if rendered < 2:
@@ -582,9 +586,13 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
                 continue
             dt_iter = (time.time() - start) / rendered
             left = cfg.max_time - (time.time() - start)
-            k = max(1, min(auto_block, int(left / max(dt_iter, 1e-6))))
+            k = auto_block if left >= dt_iter * auto_block else 1
             step(k)
     else:
+        # Full blocks then singles. The schedule is a pure function of
+        # ``done``, so a resumed run reproduces the original partition
+        # and the accumulation association — resume stays bit-exact
+        # (tests/test_cli_checkpoint.py).
         target = cfg.iterations
         while done < target:
             k = auto_block if target - done >= auto_block else 1
