@@ -397,12 +397,22 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
     is_pallas = backend.startswith("pallas") and use_vm
 
     def run_xla(start, k):
+        # Single-iteration dispatches use the portable XLA merge even
+        # when the pallas backend is active: the block=1 variant of the
+        # fused-Mosaic program faults persistently on this runtime (every
+        # merging combo of the round-4 512^2 report failed its pallas
+        # attempts at the -i 10 tail blocks while the block=8 prefix ran
+        # clean), and a 1-iteration dispatch is never the hot path. The
+        # two merges agree to float association (5+ digits), and the
+        # schedule stays a pure function of progress so resume remains
+        # bit-exact.
+        use_pallas_now = is_pallas and k > 1
         while True:
             # Chunk the merge only when pair arrays would exceed ~16M
             # rows (~1.4 GB @ ~21 int32/row) — chunking costs a little
             # and its uneven pair split needs slack (vcm.merge_stage).
             # The pallas kernel streams photon slabs and never chunks.
-            chunks = 1 if (not use_vm or is_pallas) else max(
+            chunks = 1 if (not use_vm or use_pallas_now) else max(
                 1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
             if cfg.mesh is not None:
                 from .parallel.sharding import (
@@ -438,7 +448,7 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
                     photon_factor=cfg.photon_factor,
                     query_factor=cfg.query_factor, rng_kind=cfg.rng_kind,
                     merge_chunks=chunks,
-                    merge_backend=backend if is_pallas else "xla",
+                    merge_backend=backend if use_pallas_now else "xla",
                     trace_backend=trace_be,
                 )
             if not use_vm:
