@@ -6,10 +6,17 @@ with block-averaged relative errors (32x32 blocks absorb per-pixel Monte
 Carlo noise; with N iterations the block mean noise is ~1/sqrt(1024*N) of
 signal).
 
+Each combo runs in its OWN subprocess (like bench.py --full and the report
+driver): the tunneled runtime's fault probability grows with the number of
+Mosaic programs accumulated in one process (bpm reproducibly faulted as
+the 5th in-process algorithm while clean solo), and a fault poisons the
+whole session. Rows persist in a JSONL sidecar, so a killed sweep resumes.
+
 Usage: python scripts/parity_tpu.py [--iters 10] [--out PARITY.md]
 """
 
 import argparse
+import json
 import os
 import subprocess
 import sys
@@ -40,6 +47,81 @@ def block_mean(img, b=32):
     return img.reshape(h // b, b, w // b, b, 3).mean(axis=(1, 3))
 
 
+def run_combo(scene_id: int, alg: str, iters: int) -> dict:
+    """One (scene, algorithm) parity row — runs in the child process."""
+    from smallvcm_tpu.io.framebuffer import load_hdr, save_hdr
+    from smallvcm_tpu.render import RenderConfig, render
+    from smallvcm_tpu.scene.scene import (SCENE_CONFIGS, get_scene_name,
+                                          load_cornell_box)
+
+    ref_file = WORK / f"ref_s{scene_id}_{alg}_i{iters}.hdr"
+    if not ref_file.exists():
+        subprocess.run(
+            [str(REF_BIN), "-s", str(scene_id), "-a", alg,
+             "-i", str(iters), "-o", ref_file.name],
+            cwd=str(WORK), check=True, capture_output=True,
+        )
+    ref = load_hdr(str(ref_file))
+
+    scene = load_cornell_box((512, 512), SCENE_CONFIGS[scene_id])
+    name, _ = get_scene_name(SCENE_CONFIGS[scene_id])
+    cfg = RenderConfig(algorithm=alg, iterations=iters,
+                      resolution=(512, 512))
+    t0 = time.time()
+    img, elapsed, _ = render(scene, cfg)
+    wall = time.time() - t0
+    # Round-trip OUR image through the same RGBE encode/decode the
+    # reference HDR went through. The +0.5-quantum decode offset is
+    # unbiased only for pixels noisy across a quantization bin;
+    # near-CONSTANT bright pixels (the directly-viewed light panel,
+    # sun-lit patches) decode up to +0.12% high, so comparing our RAW
+    # floats against the decoded reference manufactures a fake
+    # systematic "energy deficit" (round-4 audit, PARITY.md).
+    rt = WORK / f"mine_s{scene_id}_{alg}_i{iters}.hdr"
+    save_hdr(np.asarray(img), str(rt))
+    mine = load_hdr(str(rt))
+
+    bm, br = block_mean(mine), block_mean(ref)
+    rel = np.abs(bm - br) / (br + 1e-3)
+    # z-score of the image-mean difference: the two renders are
+    # independent, so Var(mean diff) ~= Var(block-mean diff)/nblocks
+    # (blocks are close to independent at 32x32 with N iterations).
+    bd = (bm - br).mean(axis=2).reshape(-1)
+    sigma = float(bd.std(ddof=1) / np.sqrt(bd.size))
+    z = float(bd.mean() / sigma) if sigma > 0 else 0.0
+    return dict(
+        scene=scene_id, scene_name=name, alg=alg,
+        mean_mine=float(mine.mean()), mean_ref=float(ref.mean()),
+        rel_median=float(np.median(rel)),
+        rel_p95=float(np.percentile(rel, 95)),
+        z=z,
+        seconds=wall,
+    )
+
+
+def write_md(rows, iters, out):
+    order = {(r["scene"], r["alg"]): r for r in rows}
+    with open(out, "w") as f:
+        f.write("# PARITY — TPU renderer vs reference binary\n\n")
+        f.write(f"512x512, {iters} iterations each, block-averaged "
+                "(32x32) relative error vs the reference's HDR output, "
+                "with OUR image round-tripped through the same RGBE "
+                "quantization (see the energy-audit section). Both "
+                "renderers use independent RNG streams, so agreement is "
+                "statistical: block-mean MC noise at this sample count "
+                "is a few percent.\n\n")
+        f.write("| scene | algorithm | mean (ours) | mean (ref) | "
+                "rel err median | rel err p95 | mean z | wall s (ours) |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for r in order.values():
+            f.write(
+                f"| {r['scene']} ({r['scene_name']}) | {r['alg']} | "
+                f"{r['mean_mine']:.5f} | {r['mean_ref']:.5f} | "
+                f"{r['rel_median']:.4f} | {r['rel_p95']:.4f} | "
+                f"{r['z']:+.2f} | {r['seconds']:.1f} |\n"
+            )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
@@ -47,83 +129,59 @@ def main():
     ap.add_argument("--scenes", type=int, nargs="*", default=[0, 1, 2, 3])
     ap.add_argument("--algs", type=str, nargs="*", default=None,
                     help="subset of algorithms (default: all 7)")
+    ap.add_argument("--single", nargs=2, metavar=("SCENE", "ALG"),
+                    default=None, help="(internal) run ONE combo, print "
+                    "its JSON row on the last stdout line")
     args = ap.parse_args()
 
     ensure_reference()
     WORK.mkdir(parents=True, exist_ok=True)
 
-    from smallvcm_tpu.io.framebuffer import load_hdr, save_hdr
-    from smallvcm_tpu.render import ALGORITHMS, RenderConfig, render
-    from smallvcm_tpu.scene.scene import SCENE_CONFIGS, get_scene_name, load_cornell_box
+    if args.single:
+        row = run_combo(int(args.single[0]), args.single[1], args.iters)
+        print(json.dumps(row))
+        return
+
+    from smallvcm_tpu.render import ALGORITHMS
+
+    rows_file = WORK / f"rows_i{args.iters}.jsonl"
+    done = {}
+    if rows_file.exists():
+        for line in rows_file.read_text().splitlines():
+            r = json.loads(line)
+            done[(r["scene"], r["alg"])] = r
 
     rows = []
     for scene_id in args.scenes:
-        scene = load_cornell_box((512, 512), SCENE_CONFIGS[scene_id])
-        name, _ = get_scene_name(SCENE_CONFIGS[scene_id])
         for alg in (args.algs or ALGORITHMS):
-            ref_file = WORK / f"ref_s{scene_id}_{alg}_i{args.iters}.hdr"
-            if not ref_file.exists():
-                subprocess.run(
-                    [str(REF_BIN), "-s", str(scene_id), "-a", alg,
-                     "-i", str(args.iters), "-o", ref_file.name],
-                    cwd=str(WORK), check=True, capture_output=True,
+            if (scene_id, alg) in done:
+                rows.append(done[(scene_id, alg)])
+                continue
+            row = None
+            for attempt in range(3):
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--single", str(scene_id),
+                     alg, "--iters", str(args.iters)],
+                    capture_output=True, text=True,
                 )
-            ref = load_hdr(str(ref_file))
+                if proc.returncode == 0 and proc.stdout.strip():
+                    row = json.loads(proc.stdout.strip().splitlines()[-1])
+                    break
+                print(f"s{scene_id} {alg}: attempt {attempt} failed "
+                      f"(runtime flake); retrying via compile cache",
+                      flush=True)
+            if row is None:
+                print(f"s{scene_id} {alg}: FAILED 3x; leaving row out",
+                      flush=True)
+                continue
+            with open(rows_file, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            rows.append(row)
+            print(f"s{scene_id} {alg}: med={row['rel_median']:.4f} "
+                  f"p95={row['rel_p95']:.4f} z={row['z']:+.2f} "
+                  f"t={row['seconds']:.1f}s", flush=True)
 
-            cfg = RenderConfig(algorithm=alg, iterations=args.iters,
-                               resolution=(512, 512))
-            t0 = time.time()
-            img, elapsed, iters = render(scene, cfg)
-            wall = time.time() - t0
-            # Round-trip OUR image through the same RGBE encode/decode the
-            # reference HDR went through. The +0.5-quantum decode offset is
-            # unbiased only for pixels noisy across a quantization bin;
-            # near-CONSTANT bright pixels (the directly-viewed light panel,
-            # sun-lit patches) decode up to +0.12% high, so comparing our
-            # RAW floats against the decoded reference manufactures a fake
-            # systematic "energy deficit" (round-4 audit: scene-1 pt read
-            # -0.081% raw but -0.011% after identical quantization).
-            rt = WORK / f"mine_s{scene_id}_{alg}_i{args.iters}.hdr"
-            save_hdr(np.asarray(img), str(rt))
-            mine = load_hdr(str(rt))
-
-            bm, br = block_mean(mine), block_mean(ref)
-            rel = np.abs(bm - br) / (br + 1e-3)
-            # z-score of the image-mean difference: the two renders are
-            # independent, so Var(mean diff) ~= Var(block-mean diff)/nblocks
-            # (blocks are close to independent at 32x32 with N iterations).
-            bd = (bm - br).mean(axis=2).reshape(-1)
-            sigma = float(bd.std(ddof=1) / np.sqrt(bd.size))
-            z = float(bd.mean() / sigma) if sigma > 0 else 0.0
-            rows.append(dict(
-                scene=scene_id, scene_name=name, alg=alg,
-                mean_mine=float(mine.mean()), mean_ref=float(ref.mean()),
-                rel_median=float(np.median(rel)),
-                rel_p95=float(np.percentile(rel, 95)),
-                z=z,
-                seconds=wall,
-            ))
-            print(f"s{scene_id} {alg}: med={rows[-1]['rel_median']:.4f} "
-                  f"p95={rows[-1]['rel_p95']:.4f} z={z:+.2f} "
-                  f"t={wall:.1f}s", flush=True)
-
-    with open(args.out, "w") as f:
-        f.write("# PARITY — TPU renderer vs reference binary\n\n")
-        f.write(f"512x512, {args.iters} iterations each, block-averaged "
-                "(32x32) relative error vs the reference's HDR output. "
-                "Both renderers use independent RNG streams, so agreement "
-                "is statistical: block-mean MC noise at this sample count "
-                "is a few percent.\n\n")
-        f.write("| scene | algorithm | mean (ours) | mean (ref) | "
-                "rel err median | rel err p95 | mean z | wall s (ours) |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
-        for r in rows:
-            f.write(
-                f"| {r['scene']} ({r['scene_name']}) | {r['alg']} | "
-                f"{r['mean_mine']:.5f} | {r['mean_ref']:.5f} | "
-                f"{r['rel_median']:.4f} | {r['rel_p95']:.4f} | "
-                f"{r['z']:+.2f} | {r['seconds']:.1f} |\n"
-            )
+    write_md(rows, args.iters, args.out)
     print(f"wrote {args.out}")
 
 
