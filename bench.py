@@ -57,13 +57,26 @@ def _eprint(*a):
 
 
 def _steady_blocks(runner, warm_blocks=1, timed_blocks=3, block=BLOCK):
-    """Time ``timed_blocks`` blocks after ``warm_blocks`` settle runs.
+    """Time ``timed_blocks`` blocks after the runner has SETTLED.
+
+    Warm-up runs until two consecutive blocks agree within 30% (up to 6
+    blocks): through the tunneled runtime, compiles AND persistent-cache
+    LOADS can take minutes and can land on any early call, not just the
+    first — one cold bench run recorded 965 ms/iter for a 332 ms/iter
+    program because a load stalled a "timed" block.
 
     Returns (seconds_per_iteration, iterations_timed)."""
     start = 0
-    for _ in range(warm_blocks):
+    prev = None
+    for i in range(max(warm_blocks, 6)):
+        t0 = time.time()
         runner(start, block)
+        dt = time.time() - t0
         start += block
+        if i + 1 >= warm_blocks and prev is not None and \
+                abs(dt - prev) <= 0.3 * max(dt, prev):
+            break
+        prev = dt
     t0 = time.time()
     for _ in range(timed_blocks):
         runner(start, block)
