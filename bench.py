@@ -97,15 +97,17 @@ def bench_vcm(scene, res, n):
     runner = R._make_block_runner(scene, cfg, "vcm")
     dt, _ = _steady_blocks(runner)
 
-    # Per-iteration ray count + pair stats from one instrumented call at
-    # the driver's settled caps and resolved backend.
-    chunks = 1 if backend.startswith("pallas") else max(
-        1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
+    # Per-iteration ray count + pair stats from one instrumented call.
+    # Always the XLA merge: ray counts are backend-independent, the pair
+    # stat is the XLA merge's exact candidate count, and the block=1
+    # pallas program shape faults persistently on this runtime (see
+    # render.py::run_xla).
+    chunks = max(1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
     _acc, rays, _ovf, stats, lum = vcm.render_block_with_stats(
         scene, 1, res, res, 1,
         pair_factor=cfg.pair_factor, photon_factor=cfg.photon_factor,
         query_factor=cfg.query_factor, merge_chunks=chunks,
-        merge_backend=backend,
+        merge_backend="xla",
     )
     float(lum)
     return dt, int(rays), int(np.asarray(stats)[0])
