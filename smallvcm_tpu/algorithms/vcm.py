@@ -662,20 +662,27 @@ def merge_stage(
         ]
         return jnp.stack(cols, axis=0)  # [14, M]
 
-    # ---- 1. Photons: compact, hash, sort, pre-permute. -------------------
-    idx_p, n_p, ovf_p = grid_ops.compact_indices(flat(light_verts.valid),
-                                                 photon_cap)
+    # ---- 1. Photons: hash at full width, ONE sort-compact. ---------------
+    # Round 5: the cell key is computed at source width and a single
+    # stable (key, iota) lax.sort + one [14, cap] payload gather replaces
+    # the old compact-scatter + payload gather + packed-radix argsort +
+    # permute chain (~100 ms -> ~23 ms at 512^2 on a v5e;
+    # scripts/profile_sort_variants.py).
+    pvalid_f = flat(light_verts.valid)
+    n_p = jnp.sum(pvalid_f.astype(jnp.int32))
+    ovf_p = jnp.maximum(n_p - photon_cap, 0)
     pvalid_c = jnp.arange(photon_cap, dtype=jnp.int32) < n_p
-    pf_c = payload_planes(light_verts)[:, idx_p]      # [14, photon_cap]
-    p_mat_c = flat(light_verts.mat_id)[idx_p]
-    p_len_c = idx_p // n_ph + 1                        # slot i = length i+1
 
-    px, py, pz = sg(pf_c[0]), sg(pf_c[1]), sg(pf_c[2])
+    px_f, py_f, pz_f = (
+        sg(flat(light_verts.position.x)),
+        sg(flat(light_verts.position.y)),
+        sg(flat(light_verts.position.z)),
+    )
     big = jnp.float32(1e36)
-    vmin = lambda a: jnp.min(jnp.where(pvalid_c, a, big))
-    vmax = lambda a: jnp.max(jnp.where(pvalid_c, a, -big))
-    mnx, mny, mnz = vmin(px), vmin(py), vmin(pz)
-    mxx, mxy, mxz = vmax(px), vmax(py), vmax(pz)
+    vmin = lambda a: jnp.min(jnp.where(pvalid_f, a, big))
+    vmax = lambda a: jnp.max(jnp.where(pvalid_f, a, -big))
+    mnx, mny, mnz = vmin(px_f), vmin(py_f), vmin(pz_f)
+    mxx, mxy, mxz = vmax(px_f), vmax(py_f), vmax(pz_f)
     inv_cell = sg(1.0 / (misc.radius * 2.0))           # hashgrid.hxx:64
 
     def cell_of(x, y, z):
@@ -685,32 +692,49 @@ def merge_stage(
             jnp.floor((z - mnz) * inv_cell).astype(jnp.int32),
         )
 
-    h = grid_ops._hash_cell(*cell_of(px, py, pz), num_cells)
-    h = jnp.where(pvalid_c, h, jnp.int32(num_cells))   # sentinel cell
-    order = grid_ops.stable_radix_argsort(
-        h.astype(jnp.uint32), grid_ops._ceil_log2(num_cells + 1)
-    ).astype(jnp.int32)
-    cell_count = jnp.zeros((num_cells,), jnp.int32).at[h].add(1, mode="drop")
+    h_f = grid_ops._hash_cell(*cell_of(px_f, py_f, pz_f), num_cells)
+    h_f = jnp.where(pvalid_f, h_f, jnp.int32(num_cells))  # sentinel cell
+    pplanes = jnp.concatenate(
+        [payload_planes(light_verts),
+         sg(i2f(flat(light_verts.mat_id)))[None, :]], axis=0
+    )  # [15, M]
+    pf_s, src_p = grid_ops.sort_compact_planes(
+        h_f.astype(jnp.uint32), pplanes, photon_cap
+    )  # cell-sorted compacted payload [15, photon_cap]
+    p_mat_s = f2i(pf_s[14])
+    p_len_s = src_p // n_ph + 1                        # slot i = length i+1
+
+    # Histogram/CSR from the sentinel-keyed full-width hashes.
+    cell_count = jnp.zeros((num_cells,), jnp.int32).at[h_f].add(
+        1, mode="drop"
+    )
     cell_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(cell_count)[:-1].astype(jnp.int32)]
     )
     cell_tbl = jnp.stack([cell_start, cell_count], axis=1)  # [C, 2]
-
-    pf_s = pf_c[:, order]                               # cell-sorted payload
-    p_mat_s = p_mat_c[order]
-    p_len_s = p_len_c[order]
     # Phase-1 photon row: position bits + path length, one gather per pair.
     p1 = jnp.stack(
         [f2i(pf_s[0]), f2i(pf_s[1]), f2i(pf_s[2]), p_len_s], axis=1
     )
 
     # ---- 2. Queries: compact + per-query pair-expansion row. --------------
-    idx_q, n_q, ovf_q = grid_ops.compact_indices(flat(queries.valid),
-                                                 query_cap)
+    # Order-preserving compaction as a stable sort on the validity bit
+    # (iota tiebreak keeps live relative order — same result as the old
+    # cumsum-scatter compact_indices, minus its full-width scatter and
+    # separate payload gather).
+    qvalid_f = flat(queries.valid)
+    n_q = jnp.sum(qvalid_f.astype(jnp.int32))
+    ovf_q = jnp.maximum(n_q - query_cap, 0)
     qvalid_c = jnp.arange(query_cap, dtype=jnp.int32) < n_q
-    qf_c = payload_planes(queries)[:, idx_q]            # [14, query_cap]
-    q_mat_c = flat(queries.mat_id)[idx_q]
+    qplanes = jnp.concatenate(
+        [payload_planes(queries),
+         sg(i2f(flat(queries.mat_id)))[None, :]], axis=0
+    )  # [15, M]
+    qf_c, idx_q = grid_ops.sort_compact_planes(
+        (~qvalid_f).astype(jnp.uint32), qplanes, query_cap
+    )
+    q_mat_c = f2i(qf_c[14])
     q_len_c = idx_q // n + 1
     q_path_c = (idx_q % n).astype(jnp.int32)            # owning path/pixel
 

@@ -63,6 +63,55 @@ def stable_radix_argsort(keys, total_bits: int):
     return order
 
 
+def sort_compact_planes(keys, planes, cap: int, fused: bool = False):
+    """Stable key-sort + compaction of a planar payload table in one shot.
+
+    ``keys``: uint32 [M]; dead slots must carry a sentinel key strictly
+    above every live key so they sort last (slicing the first ``cap``
+    sorted slots IS the compaction). ``planes``: [P, M] f32 payload.
+    Returns ``(planes_sorted [P, cap], src [cap] int32)`` where ``src`` is
+    the flat source index of each compacted slot (callers derive path ids
+    / vertex depths from it). Ties broken by source index (iota is the
+    second sort key), so the result is the stable counting sort the
+    reference builds imperatively (hashgrid.hxx:67-88).
+
+    Round-5 replacement for ``stable_radix_argsort`` + permute-gathers:
+    one multi-operand ``lax.sort`` costs ~3 ms at 2.6M keys on a v5e
+    where the packed-radix path (2 keys-only sorts + 2 full-width
+    gathers) measured ~80 ms, and it subsumes the compaction gather
+    (scripts/profile_sort_variants.py — the round-2 "key-value sort is
+    pathological" result does not reproduce on this runtime).
+
+    ``fused=True`` carries the payload planes through the sort itself
+    ((2+P)-operand sort); ``fused=False`` (default, measured faster at
+    production widths and the only differentiable form) argsorts
+    ``(key, iota)`` and applies one [P, cap] payload gather.
+    """
+    m = keys.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    if fused:
+        out = jax.lax.sort(
+            (keys, iota) + tuple(planes[i] for i in range(planes.shape[0])),
+            num_keys=2,
+        )
+        src = out[1]
+        sorted_planes = jnp.stack(out[2:], axis=0)
+        if cap <= m:
+            return sorted_planes[:, :cap], src[:cap]
+        pad = cap - m
+        return (
+            jnp.pad(sorted_planes, ((0, 0), (0, pad)), mode="edge"),
+            jnp.pad(src, (0, pad), constant_values=m - 1),
+        )
+    _, src = jax.lax.sort((keys, iota), num_keys=2)
+    # cap > m tail: pad with m-1 (the LAST sorted column — a sentinel-key
+    # dead slot whenever any slot is dead) so padding never aliases the
+    # first live column.
+    src = (src[:cap] if cap <= m
+           else jnp.pad(src, (0, cap - m), constant_values=m - 1))
+    return planes[:, src], src
+
+
 class HashGrid(NamedTuple):
     bbox_min_x: jnp.ndarray
     bbox_min_y: jnp.ndarray

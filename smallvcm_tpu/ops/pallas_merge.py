@@ -301,28 +301,23 @@ def _compact_sorted(planes, keys, cap: int):
     """Compact live columns (valid in plane 15) to ``cap`` slots sorted
     by key. Returns (planes [16, cap], src index [cap], count, overflow).
 
-    One full-width stable radix sort subsumes the old cumsum+scatter
+    One full-width stable key sort subsumes the old cumsum+scatter
     compaction: dead slots carry the key sentinel (strictly above any
     live key) so they sort last, and slicing the first ``cap`` sorted
     positions IS the compaction (sorted position < count <=> live; live
     relative order matches compact-then-sort exactly because the sort is
-    stable). XLA's TPU sort cost is nearly width-independent (measured
-    ~same at 786K and 3.1M — scripts/profile_microbench.py), so this
-    saves the compaction cumsum+scatter and the [cap] key gather
-    (~35 ms/side at 512^2, scripts/profile_prep_bisect.py). Dead slots
+    stable). Round 5 moved the sort itself to
+    :func:`hashgrid.sort_compact_planes` — one (key, iota) lax.sort plus
+    a single [16, cap] payload gather, ~4x cheaper than the packed-radix
+    argsort it replaces (scripts/profile_sort_variants.py). Dead slots
     beyond ``count`` gather real (invalid) source columns; every
     downstream consumer masks by the live count."""
     valid = planes[15] > 0.0
     count = jnp.sum(valid.astype(jnp.int32))
-    order = grid_ops.stable_radix_argsort(keys.astype(jnp.uint32), 20)
-    m = keys.shape[0]
-    # cap > m tail: pad with m-1 (the LAST sorted column — a sentinel-key
-    # dead slot whenever any slot is dead, since the sort is ascending),
-    # not 0, so padded slots can never alias the first live column.
-    src = (order[:cap] if cap <= m
-           else jnp.pad(order, (0, cap - m),
-                        constant_values=m - 1)).astype(jnp.int32)
-    return planes[:, src], src, count, jnp.maximum(count - cap, 0)
+    sorted_planes, src = grid_ops.sort_compact_planes(
+        keys.astype(jnp.uint32), planes, cap
+    )
+    return sorted_planes, src, count, jnp.maximum(count - cap, 0)
 
 
 def merge_prep(
