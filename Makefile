@@ -18,7 +18,9 @@ test:
 # correctness also runs via the cheap pt FD check, the supervisor's units
 # are covered by checkpoint tests).
 test-fast:
-	python -m pytest tests/ -q -m "not slow" -n 2
+	@python -c "import xdist" 2>/dev/null \
+	    && python -m pytest tests/ -q -m "not slow" -n 2 \
+	    || python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

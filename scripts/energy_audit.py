@@ -41,7 +41,8 @@ def run_ours(scene_id, alg, iters, res, block, seed, max_path_length=10):
     from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
 
     scene = load_cornell_box((res, res), SCENE_CONFIGS[scene_id])
-    cfg = RenderConfig(algorithm=alg, resolution=(res, res), base_seed=seed)
+    cfg = RenderConfig(algorithm=alg, resolution=(res, res), base_seed=seed,
+                       max_path_length=max_path_length)
     runner = _make_block_runner(scene, cfg, resolve_algorithm(scene, alg))
 
     means = []

@@ -17,7 +17,7 @@ from ..core.vec3 import V3, dot
 from ..ops.intersect import intersect
 from ..scene.camera import generate_ray
 from ..scene.scene import SceneData
-from ..io.framebuffer import add_color, new_fb_planes
+from ..io.framebuffer import add_color_at_pix, new_fb_planes
 
 
 def render_core(
@@ -57,7 +57,8 @@ def render_core(
     )
     color = color * hit.hit.astype(jnp.float32)
 
-    fb = add_color(new_fb_planes(res_x, res_y), sx, sy, color)
+    # Own-pixel accumulate: floor(sx) == pix % res_x (jitter in [0,1)).
+    fb = add_color_at_pix(new_fb_planes(res_x, res_y), pix, color)
     return fb.to_array()
 
 

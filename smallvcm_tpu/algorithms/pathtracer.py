@@ -23,7 +23,7 @@ from ..ops import lights as light_ops
 from ..ops.intersect import intersect, occluded
 from ..scene.camera import generate_ray
 from ..scene.scene import SceneData
-from ..io.framebuffer import add_color, new_fb_planes
+from ..io.framebuffer import add_color_at_pix, new_fb_planes
 
 
 def _safe_div(a, b):
@@ -232,7 +232,8 @@ def render_core(
 
     state = jax.lax.fori_loop(0, max_path_length, bounce, state)
 
-    fb = add_color(new_fb_planes(res_x, res_y), sx, sy, state.color)
+    # Own-pixel accumulate: floor(sx) == pix % res_x (jitter in [0,1)).
+    fb = add_color_at_pix(new_fb_planes(res_x, res_y), pix, state.color)
     return fb.to_array()
 
 

@@ -51,7 +51,8 @@ from ..ops import lights as light_ops
 from ..ops.intersect import intersect, occluded
 from ..scene.camera import check_raster, generate_ray, world_to_raster
 from ..scene.scene import SceneData
-from ..io.framebuffer import add_color, new_fb_planes
+from ..io.framebuffer import (add_color, add_color_at_pix, new_fb_planes,
+                              splat_colors)
 
 
 def _pad_mult(x: int, m: int) -> int:
@@ -332,9 +333,22 @@ def trace_light_paths(
     state = generate_light_sample(scene, misc, pix, iteration, base_seed,
                                   rng_kind)
     verts = _empty_vertices(max_l, n)
+    # Deferred camera-connection splats: per-bounce scatter-adds were 88%
+    # of lt's iteration time (scripts/profile_lt.py); bounces record
+    # (pixel, rgb) rows here and ONE sorted 3-wide scatter flushes them
+    # after the walk (io/framebuffer.py::splat_colors).
+    res_y_fb, res_x_fb = fb.x.shape
+    pix_sentinel = jnp.int32(res_x_fb * res_y_fb)
+    if connect_cam:
+        splat_pix0 = jnp.full((max_l, n), pix_sentinel, jnp.int32)
+        splat_rgb0 = V3(*(jnp.zeros((max_l, n), jnp.float32)
+                          for _ in range(3)))
+    else:  # keep the carry free of dead [max_l, n] buffers
+        splat_pix0 = jnp.zeros((0,), jnp.int32)
+        splat_rgb0 = V3(*(jnp.zeros((0,), jnp.float32) for _ in range(3)))
 
     def bounce(i, carry):
-        state, verts, fb, rays = carry
+        state, verts, splat_pix, splat_rgb, fb, rays = carry
         path_length = i + 1
 
         rays = rays + jnp.sum(state.alive.astype(jnp.int32))
@@ -384,7 +398,22 @@ def trace_light_paths(
             rx, ry, contrib, cast = connect_to_camera(
                 scene, misc, state, hit_point, b, enabled, light_trace_only
             )
-            fb = add_color(fb, rx, ry, contrib)
+            # Record the splat; AddColor's floor/drop semantics
+            # (framebuffer.hxx:43-57) via the sentinel for any dead/OOB row.
+            px_i = jnp.floor(rx).astype(jnp.int32)
+            py_i = jnp.floor(ry).astype(jnp.int32)
+            pix1d = jnp.where(
+                cast & (rx >= 0) & (ry >= 0) & (px_i < res_x_fb)
+                & (py_i < res_y_fb),
+                py_i * res_x_fb + px_i, pix_sentinel,
+            )
+            upd1 = lambda a, v: jax.lax.dynamic_update_index_in_dim(
+                a, v, i, axis=0
+            )
+            splat_pix = upd1(splat_pix, pix1d)
+            splat_rgb = V3(upd1(splat_rgb.x, contrib.x),
+                           upd1(splat_rgb.y, contrib.y),
+                           upd1(splat_rgb.z, contrib.z))
             rays = rays + jnp.sum(enabled.astype(jnp.int32))  # shadow rays
 
         # Path-too-long termination (vertexcm.hxx:387).
@@ -400,11 +429,15 @@ def trace_light_paths(
         state = sample_scattering(
             scene, misc, state, hit_point, b, u, fix_is_light=True
         )
-        return state, verts, fb, rays
+        return state, verts, splat_pix, splat_rgb, fb, rays
 
-    state, verts, fb, rays = jax.lax.fori_loop(
-        0, max_l, bounce, (state, verts, fb, jnp.zeros((), jnp.int32))
+    state, verts, splat_pix, splat_rgb, fb, rays = jax.lax.fori_loop(
+        0, max_l, bounce,
+        (state, verts, splat_pix0, splat_rgb0, fb,
+         jnp.zeros((), jnp.int32)),
     )
+    if connect_cam:
+        fb = splat_colors(fb, splat_pix, splat_rgb)
     return verts, fb, rays
 
 
@@ -755,12 +788,12 @@ def merge_stage(
     bx, by, bz = cell_of(qx, qy, qz)
     # Nearest 2x2x2 neighborhood by fractional part (hashgrid.hxx:124-138).
     frac = lambda a, mn: (a - mn) * inv_cell
-    pick = lambda r, b: jnp.where(r - jnp.floor(r) < 0.5, -1, 1).astype(
+    pick = lambda r: jnp.where(r - jnp.floor(r) < 0.5, -1, 1).astype(
         jnp.int32
     )
-    sx = pick(frac(qx, mnx), bx)
-    sy = pick(frac(qy, mny), by)
-    sz = pick(frac(qz, mnz), bz)
+    sx = pick(frac(qx, mnx))
+    sy = pick(frac(qy, mny))
+    sz = pick(frac(qz, mnz))
 
     starts8 = []
     counts8 = []
@@ -1030,7 +1063,7 @@ def render_iteration_core(
         ray_count = ray_count + cam_rays
     return _merge_finish(
         scene, misc, n, n_paths_global, verts, fb, color, queries,
-        light_verts_global, sx, sy, ray_count,
+        light_verts_global, pix, sx, sy, ray_count,
         max_path_length, min_path_length, use_vm, ppm,
         pair_factor, photon_factor, query_factor, vm_exchange,
         merge_chunks, merge_backend, axis_name,
@@ -1269,7 +1302,7 @@ def _camera_stage(
 
 def _merge_finish(
     scene, misc, n, n_paths_global, verts, fb, color, queries,
-    light_verts_global, sx, sy, ray_count,
+    light_verts_global, pix, sx, sy, ray_count,
     max_path_length, min_path_length, use_vm, ppm,
     pair_factor, photon_factor, query_factor, vm_exchange,
     merge_chunks, merge_backend, axis_name,
@@ -1343,7 +1376,10 @@ def _merge_finish(
             )
             color = color + mc
 
-    fb = add_color(fb, sx, sy, color)
+    # Camera contributions always land on the path's own pixel
+    # (floor(sx) == pix % res_x); the contiguous-pix fast path replaces
+    # the 262k-row scatter (io/framebuffer.py::add_color_at_pix).
+    fb = add_color_at_pix(fb, pix, color)
     out = fb.to_array()
     if axis_name is not None:
         out = jax.lax.psum(out, axis_name)
@@ -1584,8 +1620,9 @@ def merge_finish_iteration(
     misc = compute_misc(
         scene, iteration, n, radius_factor, radius_alpha, use_vc, True
     )
+    pix = jnp.arange(n, dtype=jnp.uint32)
     return _merge_finish(
-        scene, misc, n, n, verts, fb, color, queries, verts, sx, sy,
+        scene, misc, n, n, verts, fb, color, queries, verts, pix, sx, sy,
         ray_count, max_path_length, min_path_length, True, ppm,
         pair_factor, photon_factor, query_factor, "allgather",
         merge_chunks, merge_backend, axis_name=None,

@@ -296,6 +296,15 @@ def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
         # The block loop still grows caps and re-renders on overflow.
         cfg.photon_factor = _bucket(n_ph * 1.03, n)
         cfg.query_factor = _bucket(n_q * 1.03, n)
+        # Size pair_factor too: single-iteration (k==1) dispatches run
+        # the XLA merge (see run_xla) and would otherwise start from the
+        # default pair cap and burn an overflow-grow-recompile round.
+        demand = vcm.merge_demand_iteration(
+            scene, 0, traced, res_x, res_y, cfg.radius_factor,
+            cfg.radius_alpha,
+        )
+        pairs = int(np.asarray(demand)[0])
+        cfg.pair_factor = max(cfg.pair_factor, _bucket(pairs * 1.15, n))
     else:
         demand = vcm.merge_demand_iteration(
             scene, 0, traced, res_x, res_y, cfg.radius_factor,
@@ -568,6 +577,11 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
     done = start_iter
     auto_block = auto_block_size(cfg, alg)
 
+    # Test-only fault injection (tests/test_isolate.py) is resolved ONCE
+    # here so the production block loop carries no per-block env checks.
+    fault_hook = (_maybe_inject_test_fault
+                  if os.environ.get("SMALLVCM_TEST_FAULT_AT") else None)
+
     def step(k):
         nonlocal accum, done
         t0 = time.time()
@@ -579,7 +593,8 @@ def render(scene: SceneData, cfg: RenderConfig, verbose: bool = False,
                   f"dt={time.time() - t0:.3f}s", flush=True)
         if block_cb is not None:
             block_cb(accum, done)
-        _maybe_inject_test_fault(done)
+        if fault_hook is not None:
+            fault_hook(done)
 
     start = time.time()
     if cfg.max_time > 0:

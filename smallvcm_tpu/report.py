@@ -83,8 +83,26 @@ def _render_combo(scene_id: int, alg: str, filename: str, args,
         print(f"  [{alg}] attempt {attempt} failed (rc={last[0]}); "
               f"retrying via compile cache", flush=True)
     raise RuntimeError(
-        f"report combo scene {scene_id} alg {alg} failed twice: {last}"
+        f"report combo scene {scene_id} alg {alg} failed after "
+        f"{retries + 1} attempts: {last}"
     )
+
+
+def _effective_settings(args) -> dict:
+    """The render settings a completed combo must have been produced
+    with for resume to skip it. Stored in every state record; a --report
+    re-run with different -i/-t/--resolution/--seed/path-length/radius
+    args re-renders instead of silently reusing stale images."""
+    return {
+        "resolution": list(args.resolution),
+        "seed": args.seed,
+        "iterations": args.iterations,
+        "max_time": args.max_time,
+        "max_path_length": args.max_path_length,
+        "min_path_length": args.min_path_length,
+        "radius_factor": args.radius_factor,
+        "radius_alpha": args.radius_alpha,
+    }
 
 
 def _load_state() -> dict:
@@ -146,7 +164,9 @@ def full_report(args) -> None:
         print(f"Scene: {scene_name}")
         for alg in ALGORITHMS:
             filename = build_default_filename(scene_config, alg)
-            if filename in state and os.path.exists(filename):
+            settings = _effective_settings(args)
+            if (filename in state and os.path.exists(filename)
+                    and state[filename].get("settings") == settings):
                 print(f"Running {ALGORITHM_NAMES[alg]}... "
                       f"already done ({state[filename]['elapsed']:.2f} s)",
                       flush=True)
@@ -163,7 +183,8 @@ def full_report(args) -> None:
                 continue
             print(f"done in {elapsed:.2f} s")
             state[filename] = {"elapsed": elapsed, "iters": iters,
-                               "scene": scene_id, "alg": alg}
+                               "scene": scene_id, "alg": alg,
+                               "settings": settings}
             _save_state(state)
             _write_html(state, args)
 
