@@ -98,10 +98,8 @@ def bench_vcm(scene, res, n):
     dt, _ = _steady_blocks(runner)
 
     # Per-iteration ray count + pair stats from one instrumented call.
-    # Always the XLA merge: ray counts are backend-independent, the pair
-    # stat is the XLA merge's exact candidate count, and the block=1
-    # pallas program shape faults persistently on this runtime (see
-    # render.py::run_xla).
+    # Always the XLA merge: ray counts are backend-independent and the
+    # pair stat is the XLA merge's exact candidate count.
     chunks = max(1, int(-(-int(cfg.pair_factor * n) // (16 << 20))))
     _acc, rays, _ovf, stats, lum = vcm.render_block_with_stats(
         scene, 1, res, res, 1,

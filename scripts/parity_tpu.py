@@ -89,12 +89,31 @@ def run_combo(scene_id: int, alg: str, iters: int) -> dict:
     bd = (bm - br).mean(axis=2).reshape(-1)
     sigma = float(bd.std(ddof=1) / np.sqrt(bd.size))
     z = float(bd.mean() / sigma) if sigma > 0 else 0.0
+
+    # Per-block VARIANCE-NORMALIZED z (round-5, VERDICT item 7): the
+    # global-mean z above cannot fail a localized error in a
+    # high-variance block (scene 0's sun caustics have block rel-err
+    # p95 ~ 0.3-0.6 from MC noise alone). Per pixel, the OURS-REF
+    # difference cancels image structure, so the within-block std of the
+    # pixel difference estimates that block's own MC noise; each block's
+    # mean difference over its 1024 pixels then gets a proper z. Pixel
+    # noise is heavy-tailed (fireflies), so the pass bound is
+    # generous: a real mid-size error in one block shows |z| >> 8.
+    b = 32
+    h, w, _ = mine.shape
+    d = (mine - ref).mean(axis=2)
+    db = d.reshape(h // b, b, w // b, b)
+    bmean = db.mean(axis=(1, 3))
+    bstd = db.std(axis=(1, 3), ddof=1)
+    zb = bmean / (bstd / b + 1e-12)
     return dict(
         scene=scene_id, scene_name=name, alg=alg,
         mean_mine=float(mine.mean()), mean_ref=float(ref.mean()),
         rel_median=float(np.median(rel)),
         rel_p95=float(np.percentile(rel, 95)),
         z=z,
+        zb_max=float(np.abs(zb).max()),
+        zb_over5=int((np.abs(zb) > 5).sum()),
         seconds=wall,
     )
 
@@ -111,15 +130,26 @@ def write_md(rows, iters, out):
                 "statistical: block-mean MC noise at this sample count "
                 "is a few percent.\n\n")
         f.write("| scene | algorithm | mean (ours) | mean (ref) | "
-                "rel err median | rel err p95 | mean z | wall s (ours) |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
+                "rel err median | rel err p95 | mean z | max blk z | "
+                "blks z>5 | wall s (ours) |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
         for r in order.values():
             f.write(
                 f"| {r['scene']} ({r['scene_name']}) | {r['alg']} | "
                 f"{r['mean_mine']:.5f} | {r['mean_ref']:.5f} | "
                 f"{r['rel_median']:.4f} | {r['rel_p95']:.4f} | "
-                f"{r['z']:+.2f} | {r['seconds']:.1f} |\n"
+                f"{r['z']:+.2f} | {r.get('zb_max', 0):.1f} | "
+                f"{r.get('zb_over5', 0)} | {r['seconds']:.1f} |\n"
             )
+        f.write(
+            "\nmax blk z = per-block variance-normalized |z| "
+            "(block mean of the per-pixel OURS-REF difference over its "
+            "own within-block noise, 32x32 blocks): localizes mid-size "
+            "errors that the global-mean z washes out (scene-0 caustic "
+            "blocks). Pixel noise is heavy-tailed, so isolated blocks "
+            "up to |z|~8 occur by chance; a real localized error shows "
+            "a CLUSTER of large-z blocks.\n"
+        )
 
 
 def main():

@@ -10,8 +10,9 @@ component-planar (SoA) vectors:
      ``[maxL, N]`` (replacing the ragged ``mPathEnds`` CSR pairing,
      vertexcm.hxx:311-312) and splat onto the framebuffer via differentiable
      scatter-add (ConnectToCamera).
-  2. *Grid stage* (merging only): photons cell-sorted with a keys-only
-     packed radix sort (see ops/hashgrid.py — TPU argsort is pathological).
+  2. *Grid stage* (merging only): photons cell-sorted + compacted by ONE
+     stable multi-operand lax.sort (see ops/hashgrid.py — round 5; the
+     packed-radix workaround it replaces cost ~25x more).
   3. *Camera stage*: camera sub-paths advance bounce-by-bounce doing
      hit-light radiance, NEE, and same-index light-path connections, with
      the dVCM/dVC/dVM MIS recursion carried per lane. Merge *queries*
@@ -1019,6 +1020,7 @@ def render_iteration_core(
     axis_name: str | None = None,
     camera_unroll: str = "auto",
     trace_backend: str = "xla",
+    merge_name_salt: str = "",
 ):
     """One VCM-family iteration over the given (possibly sharded) path ids.
 
@@ -1066,7 +1068,7 @@ def render_iteration_core(
         light_verts_global, pix, sx, sy, ray_count,
         max_path_length, min_path_length, use_vm, ppm,
         pair_factor, photon_factor, query_factor, vm_exchange,
-        merge_chunks, merge_backend, axis_name,
+        merge_chunks, merge_backend, axis_name, merge_name_salt,
     )
 
 
@@ -1305,7 +1307,7 @@ def _merge_finish(
     light_verts_global, pix, sx, sy, ray_count,
     max_path_length, min_path_length, use_vm, ppm,
     pair_factor, photon_factor, query_factor, vm_exchange,
-    merge_chunks, merge_backend, axis_name,
+    merge_chunks, merge_backend, axis_name, merge_name_salt="",
 ):
     """Stage 3 (deferred merging) + framebuffer splat + cross-shard sums."""
     merge_overflow = jnp.zeros((), jnp.int32)
@@ -1328,6 +1330,7 @@ def _merge_finish(
                     _pad_mult(ph_cap, 128),
                     _pad_mult(int(query_factor * n), 128), n,
                     interpret=(merge_backend == "pallas_interpret"),
+                    name_salt=merge_name_salt,
                 )
         else:
             def merge_fn(qs, lv, ph_cap):
@@ -1641,7 +1644,7 @@ def merge_finish_iteration(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=_STATIC + ("block",))
+@partial(jax.jit, static_argnames=_STATIC)
 def render_block_with_stats(
     scene: SceneData,
     start_iteration,
@@ -1668,6 +1671,15 @@ def render_block_with_stats(
     trace_backend: str = "xla",
 ):
     """``block`` consecutive iterations in ONE executable.
+
+    ``block`` is a TRACED argument (the fori_loop bound; shapes don't
+    depend on it), so every block size shares ONE compiled program. That
+    is a correctness feature on the tunneled runtime, not just a compile
+    saving: with TWO Mosaic-containing programs loaded in a process, the
+    second one's re-executions fault (INVALID_ARGUMENT) — the root cause
+    behind round 4's "block=1 faults persistently" and the
+    subprocess-per-combo machinery. fori_loop lowers to while_loop even
+    with a static bound, so the dynamic bound costs nothing.
 
     Returns (image_sum [resY,resX,3], ray_count, overflow_sum, stats_max,
     luminance) — overflow summed so ANY overflowing iteration triggers the
@@ -1696,7 +1708,9 @@ def render_block_with_stats(
         jnp.zeros((), jnp.int32),
         jnp.zeros((3,), jnp.int32),
     )
-    acc, rays, ovf, stats = jax.lax.fori_loop(0, block, body, init)
+    acc, rays, ovf, stats = jax.lax.fori_loop(
+        0, jnp.asarray(block, jnp.int32), body, init
+    )
     return acc, rays, ovf, stats, jnp.sum(acc)
 
 

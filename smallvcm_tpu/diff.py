@@ -150,3 +150,64 @@ def loss_and_grad(
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(params)
+
+
+def sharded_loss_and_grad(
+    mesh,
+    scene: SceneData,
+    params: Params,
+    target: jnp.ndarray,
+    iteration,
+    algorithm: str,
+    res_x: int,
+    res_y: int,
+    n_iterations: int = 1,
+    vm_exchange: str = "allgather",
+    **kw,
+):
+    """Mesh-aware ``loss_and_grad``: paths sharded over ``mesh``.
+
+    The forward pass is the production sharded program
+    (parallel/sharding.py::sharded_render_iteration — light vertices
+    all-gathered or ring-exchanged for merging, framebuffer psum); the
+    backward pass runs through shard_map's transpose rules, so parameter
+    gradients are psum-reduced across shards exactly as SURVEY §2's comm
+    table specifies ("psum (framebuffer, grads)"). Placement follows
+    training_step_spec: params/target replicated, path ids sharded.
+    Always uses the XLA merge (the differentiable backend).
+    """
+    from .parallel.sharding import (
+        sharded_render_iteration, training_step_spec,
+    )
+    from .render import _VCM_FLAGS
+
+    replicated, _paths = training_step_spec(mesh)
+    params = jax.device_put(params, replicated)
+    target = jax.device_put(target, replicated)
+    use_vc, use_vm, lt_only, ppm = (
+        (False, False, False, False) if algorithm == "pt"
+        else _VCM_FLAGS[algorithm]
+    )
+
+    def loss_fn(p):
+        s = apply_params(scene, p)
+        img = jnp.zeros((res_y, res_x, 3), jnp.float32)
+        for i in range(n_iterations):
+            def one(s_, it=iteration * n_iterations + i):
+                if algorithm in ("el", "pt"):
+                    from .parallel.sharding import sharded_simple_iteration
+                    return sharded_simple_iteration(
+                        mesh, algorithm, s_, it, res_x, res_y, **kw,
+                    )
+                return sharded_render_iteration(
+                    mesh, s_, it, res_x, res_y,
+                    use_vc=use_vc, use_vm=use_vm,
+                    light_trace_only=lt_only, ppm=ppm,
+                    vm_exchange=vm_exchange, merge_backend="xla", **kw,
+                )
+            img = img + (jax.checkpoint(one)(s) if n_iterations > 1
+                         else one(s))
+        img = img / n_iterations
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

@@ -5,21 +5,21 @@ into per-cell CSR ranges and probes the 2x2x2 cell neighborhood nearest each
 query (hashgrid.hxx:124-138). This TPU re-design keeps those exact semantics
 but maps each step to what the hardware does well:
 
-* build: TPU key-value sorts are pathological (measured 30 s for 2.4 M
-  argsort vs 79 ms keys-only). We run a stable LSD radix argsort out of
-  keys-only sorts: each pass packs (digit, running-position) into one uint32,
-  sorts it, and recovers the permutation — two passes cover an 18-20 bit
-  hash with 22 index bits. CSR offsets come from a scatter-add histogram +
-  cumsum (no searchsorted).
+* build: ONE stable multi-operand lax.sort keyed by cell hash (iota
+  tiebreak) sorts AND compacts in a single pass (~3 ms at 2.6M keys on a
+  v5e — scripts/profile_sort_variants.py). Round 5 replaced the
+  packed-radix argsort workaround (2 keys-only sorts + 2 full-width
+  gathers, ~80 ms at the same width; the round-2 "KV sort is pathological"
+  measurement does not reproduce on this runtime). CSR offsets come from
+  a scatter-add histogram + cumsum (no searchsorted).
 
 * query: instead of padding every probed cell to the max occupancy (gathers
   scale with 8*k_max), exact (query, photon) candidate pairs are expanded
   from the CSR ranges — work scales with the *actual* number of candidates.
 
 The production merge pipeline lives in algorithms/vcm.py::merge_stage and
-uses :func:`compact_indices` + :func:`stable_radix_argsort` + :func:`_hash_cell`
-with wide-row payload gathers (TPU scattered gathers cost per ROW, not per
-element). :func:`build` / :func:`query_cell_ranges` / :func:`expand_pairs`
+uses :func:`sort_compact_planes` + :func:`_hash_cell` with planar payload
+gathers (TPU scattered gathers cost per ROW, not per element). :func:`build` / :func:`query_cell_ranges` / :func:`expand_pairs`
 below are the simple reference implementation of the same semantics, kept as
 the test oracle (tests/test_hashgrid.py checks both against brute force).
 

@@ -573,7 +573,7 @@ def merge_prep(
 def run_tile_kernel(
     scal, qtab, runs_tbl, ptab, *,
     max_path_length: int, min_path_length: int, ppm: bool,
-    interpret: bool = False,
+    interpret: bool = False, name_salt: str = "",
 ):
     """The bare Mosaic kernel over pre-baked tables -> channel-major
     [8, n_tiles*QTILE] result planes.
@@ -608,10 +608,15 @@ def run_tile_kernel(
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
-        # Shape-qualified name: the tunneled backend's program cache has
-        # been observed to confuse same-named Mosaic kernels compiled at
-        # different shapes (second executable faults on re-execution).
-        name=f"merge_tiles_{photon_cap}_{query_cap}_{int(ppm)}",
+        # Shape- AND caller-qualified name: the tunneled backend's
+        # program cache confuses same-named Mosaic kernels compiled in
+        # DIFFERENT surrounding programs (identical shapes included) —
+        # round 5 reproduced it as the block=8 program poisoning the
+        # block=1 program's kernel, the old 'block=1 faults persistently'
+        # bug. Callers pass a name_salt that identifies the enclosing
+        # program (e.g. the block size).
+        name=f"merge_tiles_{photon_cap}_{query_cap}_{int(ppm)}"
+             f"{name_salt}",
         interpret=interpret,
     )(scal, qtab, runs_tbl, ptab)
 
@@ -660,6 +665,7 @@ def merge_stage_pallas(
     max_path_length: int, min_path_length: int,
     photon_cap: int, query_cap: int, n_paths: int,
     interpret: bool = False, measure_only: bool = False,
+    name_salt: str = "",
 ):
     """Single-trace wrapper (prep + kernel + post in one program) with the
     historical contract: (color_add V3 [n_paths], overflow, stats[3]).
@@ -687,6 +693,7 @@ def merge_stage_pallas(
     out = run_tile_kernel(
         scal, *prep, max_path_length=max_path_length,
         min_path_length=min_path_length, ppm=ppm, interpret=interpret,
+        name_salt=name_salt,
     )
     color_add = merge_post(
         out, prep[0], q_path, n_q, misc.vm_normalization, n_paths

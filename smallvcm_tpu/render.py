@@ -296,9 +296,9 @@ def _ensure_merge_caps(scene: SceneData, cfg: RenderConfig, alg: str,
         # The block loop still grows caps and re-renders on overflow.
         cfg.photon_factor = _bucket(n_ph * 1.03, n)
         cfg.query_factor = _bucket(n_q * 1.03, n)
-        # Size pair_factor too: single-iteration (k==1) dispatches run
-        # the XLA merge (see run_xla) and would otherwise start from the
-        # default pair cap and burn an overflow-grow-recompile round.
+        # Size pair_factor too: if a run ever falls back to the XLA
+        # merge (--merge-backend xla, or AD paths) it should start from a
+        # fitted pair cap instead of burning an overflow-grow round.
         demand = vcm.merge_demand_iteration(
             scene, 0, traced, res_x, res_y, cfg.radius_factor,
             cfg.radius_alpha,
@@ -406,16 +406,15 @@ def _make_block_runner(scene: SceneData, cfg: RenderConfig, alg: str):
     is_pallas = backend.startswith("pallas") and use_vm
 
     def run_xla(start, k):
-        # Single-iteration dispatches use the portable XLA merge even
-        # when the pallas backend is active: the block=1 variant of the
-        # fused-Mosaic program faults persistently on this runtime (every
-        # merging combo of the round-4 512^2 report failed its pallas
-        # attempts at the -i 10 tail blocks while the block=8 prefix ran
-        # clean), and a 1-iteration dispatch is never the hot path. The
-        # two merges agree to float association (5+ digits), and the
-        # schedule stays a pure function of progress so resume remains
-        # bit-exact.
-        use_pallas_now = is_pallas and k > 1
+        # One merge backend for EVERY iteration count (smallvcm.cxx:96-109
+        # has one code path; so do we, since round 5). The round-4 block=1
+        # fused-Mosaic program faulted persistently on this runtime; the
+        # round-5 merge-prep rewrite (one multi-operand lax.sort instead
+        # of the packed-radix sort/gather chain) changed the program
+        # shape and the fault no longer reproduces (4+ consecutive
+        # block=1 executions clean at 512^2 — scripts/repro_mosaic_fault.py
+        # retains the old repro ladder if it ever returns).
+        use_pallas_now = is_pallas
         while True:
             # Chunk the merge only when pair arrays would exceed ~16M
             # rows (~1.4 GB @ ~21 int32/row) — chunking costs a little

@@ -135,6 +135,44 @@ def test_gradient_through_sharded_render(scene):
 
 
 @needs_8_devices
+@pytest.mark.parametrize("exchange", ["allgather", "ring"])
+def test_gradient_through_sharded_vcm_merge(scene, exchange):
+    """8-device grad == 1-device grad through the FULL sharded VCM
+    pipeline with merging on (use_vm=True): the backward pass crosses the
+    light-vertex all-gather (or ring ppermute) and the framebuffer psum —
+    the 'psum (framebuffer, grads)' half of SURVEY §2's comm design that
+    test_gradient_through_sharded_render (pt) does not reach."""
+    import jax.numpy as jnp
+
+    from smallvcm_tpu import diff
+    from smallvcm_tpu.algorithms import vcm
+
+    params = diff.extract_params(scene)
+    mesh = make_mesh(8)
+    target = jnp.zeros((RES, RES, 3), jnp.float32)
+
+    _, g8 = diff.sharded_loss_and_grad(
+        mesh, scene, params, target, 0, "vcm", RES, RES,
+        vm_exchange=exchange, max_path_length=3,
+    )
+
+    def loss_single(p):
+        s = diff.apply_params(scene, p)
+        img = vcm.render_iteration(
+            s, 0, RES, RES, max_path_length=3,
+            use_vc=True, use_vm=True,
+        )
+        return jnp.mean(img ** 2)
+
+    g1 = jax.grad(loss_single)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g8),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
+@needs_8_devices
 def test_cli_devices_flag(tmp_path, monkeypatch):
     from smallvcm_tpu.cli import main
 
