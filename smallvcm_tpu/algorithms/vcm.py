@@ -1320,15 +1320,15 @@ def _merge_finish(
         # fewer spurious pairs is a direct merge-time win.
         num_cells = 8 * n_paths_global
         if merge_backend in ("pallas", "pallas_interpret"):
-            from ..ops.pallas_merge import merge_stage_pallas
+            from ..ops.pallas_merge import QTILE, SLAB, merge_stage_pallas
 
             def merge_fn(qs, lv, ph_cap):
                 return merge_stage_pallas(
                     scene, misc, qs, lv,
                     max(1024, int(pair_factor * n) // 128), ppm,
                     max_path_length, min_path_length,
-                    _pad_mult(ph_cap, 128),
-                    _pad_mult(int(query_factor * n), 128), n,
+                    _pad_mult(ph_cap, SLAB),
+                    _pad_mult(int(query_factor * n), QTILE), n,
                     interpret=(merge_backend == "pallas_interpret"),
                     name_salt=merge_name_salt,
                 )
@@ -1572,7 +1572,7 @@ def merge_measure_iteration(
     pair-equivalents (slabs*128), live photons, live queries] at these
     photon/query caps. Lets the driver size every cap exactly BEFORE
     compiling the single Mosaic kernel the process will ever hold."""
-    from ..ops.pallas_merge import merge_stage_pallas
+    from ..ops.pallas_merge import QTILE, SLAB, merge_stage_pallas
 
     fb, color, queries, verts, sx, sy, ray_count = traced
     n = res_x * res_y
@@ -1582,8 +1582,8 @@ def merge_measure_iteration(
     _, overflow, stats = merge_stage_pallas(
         scene, misc, queries, verts, 0, ppm,
         max_path_length, min_path_length,
-        _pad_mult(int(photon_factor * n), 128),
-        _pad_mult(int(query_factor * n), 128), n,
+        _pad_mult(int(photon_factor * n), SLAB),
+        _pad_mult(int(query_factor * n), QTILE), n,
         measure_only=True,
     )
     return overflow, stats

@@ -101,14 +101,19 @@ def sort_compact_planes(keys, planes, cap: int, fused: bool = False):
         pad = cap - m
         return (
             jnp.pad(sorted_planes, ((0, 0), (0, pad)), mode="edge"),
-            jnp.pad(src, (0, pad), constant_values=m - 1),
+            jnp.concatenate([src, jnp.broadcast_to(src[m - 1:], (pad,))]),
         )
     _, src = jax.lax.sort((keys, iota), num_keys=2)
-    # cap > m tail: pad with m-1 (the LAST sorted column — a sentinel-key
-    # dead slot whenever any slot is dead) so padding never aliases the
-    # first live column.
-    src = (src[:cap] if cap <= m
-           else jnp.pad(src, (0, cap - m), constant_values=m - 1))
+    # cap > m tail: repeat the LAST sorted column (a sentinel-key dead
+    # slot whenever any slot is dead, since the sort is ascending) so
+    # padding never aliases the first live column. Same padding in both
+    # variants.
+    if cap > m:
+        src = jnp.concatenate(
+            [src, jnp.broadcast_to(src[m - 1:], (cap - m,))]
+        )
+    else:
+        src = src[:cap]
     return planes[:, src], src
 
 

@@ -64,7 +64,11 @@ ROWS = GRID_Z * GRID_XY   # 2^19 (row = cz * GRID_XY + cy)
 # nothing while a full (cz,cy,cx) key would cost a third radix pass.
 _KEY_SENT = jnp.int32(1 << 19)   # > any live row id
 SLAB = 128                # photons per kernel slab
-QTILE = 128               # queries per kernel tile
+# 256 queries per kernel tile (round 5; was 128): per-step fixed costs
+# (runs DMA, acc zero, epilogue reduce, grid overhead) measured ~10 us
+# against ~2.5 us of pair math, so halving the step count wins even
+# though a wider tile spans more photon slabs.
+QTILE = 256               # queries per kernel tile
 NBUF = 4                  # photon slabs in flight (DMA pipeline depth)
 QF = 32                   # f32 fields per baked query row
 PF = 16                   # f32 fields per baked photon row
@@ -176,7 +180,6 @@ def _tile_kernel(
     t = pl.program_id(0)
     fetch = pltpu.make_async_copy(runs_ref.at[t], runs_smem, sem_runs)
     fetch.start()
-    acc[:] = jnp.zeros_like(acc)
     fetch.wait()
     total = runs_smem[0]
 
@@ -201,6 +204,10 @@ def _tile_kernel(
 
     @pl.when(total > 0)
     def _():
+        # Zero the accumulator only when the tile has work: empty tiles
+        # (live-query shortfall vs the cap) skip the [3, QTILE, SLAB]
+        # zero + reduce entirely and just write zeros below.
+        acc[:] = jnp.zeros_like(acc)
         # Fill the pipeline: NBUF-1 slab fetches started here; the body
         # starts one more per iteration, so steady state keeps NBUF-1 in
         # flight plus the one being consumed. The slabs are small
@@ -241,10 +248,16 @@ def _tile_kernel(
     # physical one — downstream XLA programs then consume a DEFAULT-layout
     # buffer (permuted-layout Mosaic outputs poison the tunneled runtime;
     # see merge_prep).
-    red = jnp.sum(acc[:], axis=2)                    # [3, QTILE]
-    out_ref[:] = jnp.concatenate(
-        [red, jnp.zeros((5, QTILE), jnp.float32)], axis=0
-    )
+    @pl.when(total > 0)
+    def _reduce():
+        red = jnp.sum(acc[:], axis=2)                # [3, QTILE]
+        out_ref[:] = jnp.concatenate(
+            [red, jnp.zeros((5, QTILE), jnp.float32)], axis=0
+        )
+
+    @pl.when(total == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros((8, QTILE), jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -120,3 +120,27 @@ def test_invalid_particles_not_counted():
         jnp.float32(0.2), 256,
     )
     assert int(np.asarray(grid.cell_count).sum()) == m // 2
+
+
+def test_sort_compact_planes_matches_oracle():
+    """sort_compact_planes == stable argsort + gather, both variants,
+    including the cap > m padding path."""
+    g = np.random.default_rng(7)
+    m = 1000
+    keys = g.integers(0, 50, size=m).astype(np.uint32)
+    valid = g.uniform(size=m) < 0.6
+    keys = np.where(valid, keys, np.uint32(50))  # sentinel above live keys
+    planes = g.standard_normal((5, m)).astype(np.float32)
+
+    order = np.argsort(keys, kind="stable")
+    for cap in (256, m, m + 128):
+        want_src = order[:cap] if cap <= m else np.concatenate(
+            [order, np.full(cap - m, order[-1])]
+        )
+        want = planes[:, want_src]
+        for fused in (False, True):
+            got, src = hashgrid.sort_compact_planes(
+                jnp.asarray(keys), jnp.asarray(planes), cap, fused=fused
+            )
+            np.testing.assert_array_equal(np.asarray(src), want_src)
+            np.testing.assert_array_equal(np.asarray(got), want)

@@ -11,6 +11,7 @@ import jax
 import pytest
 
 from smallvcm_tpu.algorithms import vcm
+from smallvcm_tpu.ops import pallas_merge as PM
 from smallvcm_tpu.ops.pallas_merge import merge_stage_pallas
 from smallvcm_tpu.scene.scene import SCENE_CONFIGS, load_cornell_box
 
@@ -117,7 +118,8 @@ def test_pallas_merge_compaction_overflow_reported():
     _, overflow, stats = merge_stage_pallas(
         scene, misc, queries, light_verts, work_cap=0, ppm=False,
         max_path_length=9, min_path_length=0,
-        photon_cap=128, query_cap=128, n_paths=n, interpret=True,
+        photon_cap=PM.SLAB, query_cap=PM.QTILE, n_paths=n,
+        interpret=True,
     )
     assert int(overflow) > 0
     assert int(stats[0]) > 0
