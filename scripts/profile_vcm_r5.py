@@ -60,7 +60,7 @@ def main():
     try:
         caps = json.load(open(caps_file))
         for k_, v in caps.items():
-            if k_.startswith("vcm|pallas|512x512|tri10"):
+            if k_.startswith("vcm|pallas|512x512|"):
                 pf, phf, qf = (v["pair_factor"], v["photon_factor"],
                                v["query_factor"])
                 break

@@ -67,7 +67,9 @@ SLAB = 128                # photons per kernel slab
 # 256 queries per kernel tile (round 5; was 128): per-step fixed costs
 # (runs DMA, acc zero, epilogue reduce, grid overhead) measured ~10 us
 # against ~2.5 us of pair math, so halving the step count wins even
-# though a wider tile spans more photon slabs.
+# though a wider tile spans more photon slabs. 512 was measured WORSE
+# (wasted pair work grows faster than the step count shrinks:
+# 17.3 M rays/s vs 18.7 M at 256, BENCH_HISTORY).
 QTILE = 256               # queries per kernel tile
 NBUF = 4                  # photon slabs in flight (DMA pipeline depth)
 QF = 32                   # f32 fields per baked query row
