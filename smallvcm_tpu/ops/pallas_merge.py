@@ -173,52 +173,93 @@ def _tile_kernel(
     runs_ref,                    # [n_tiles, RUNCOLS] int32 (HBM)
     ptab_ref,                    # [PF, photon_cap] f32 (HBM)
     out_ref,                     # [8, QTILE] this tile's RGB output
-    runs_smem,                   # SMEM scratch [RUNCOLS]
+    runs_smem,                   # SMEM scratch [2, RUNCOLS] (double-buffered)
     pbuf,                        # VMEM scratch [NBUF, PF, SLAB]
     acc,                         # VMEM scratch [3, QTILE, SLAB] accumulator
-    sem_runs, sem_p,             # DMA semaphores (), (NBUF,)
+    sem_runs, sem_p,             # DMA semaphores (2,), (NBUF,)
     *, max_path_length: int, min_path_length: int, ppm: bool,
 ):
+    # Cross-step software pipeline (round 5b): the runs table for tile
+    # t+1 is fetched DURING tile t's compute, and tile t+1's first
+    # NBUF-1 slab DMAs are started in tile t's epilogue — so a steady
+    # step never sits in a serial DMA round-trip. Scratch persists
+    # across grid steps on one TPU core, which is what makes the
+    # hand-off legal. Step 0 pays the one blocking fetch.
     t = pl.program_id(0)
-    fetch = pltpu.make_async_copy(runs_ref.at[t], runs_smem, sem_runs)
-    fetch.start()
-    fetch.wait()
-    total = runs_smem[0]
+    n_tiles = pl.num_programs(0)
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
 
-    def slab_of(k):
+    def runs_fetch(tile, slot):
+        return pltpu.make_async_copy(
+            runs_ref.at[tile], runs_smem.at[slot], sem_runs.at[slot]
+        )
+
+    def slab_of(k, buf):
         """Map flat slab index k -> photon slab id via the <=9 runs."""
         slab = jnp.int32(0)
         prev = jnp.int32(0)
         for j in range(9):
-            lo = runs_smem[1 + 2 * j]
-            cum = runs_smem[2 + 2 * j]
+            lo = runs_smem[buf, 1 + 2 * j]
+            cum = runs_smem[buf, 2 + 2 * j]
             sel = (k >= prev) & (k < cum)
             slab = jnp.where(sel, lo + (k - prev), slab)
             prev = cum
         return slab
 
-    def slab_dma(k, slot):
-        s = slab_of(k)
+    def slab_dma(k, slot, buf):
+        s = slab_of(k, buf)
         return pltpu.make_async_copy(
             ptab_ref.at[:, pl.ds(s * SLAB, SLAB)],
             pbuf.at[slot], sem_p.at[slot],
         )
 
+    def prefill(buf):
+        # Fill the slab pipeline for the tile whose runs sit in ``buf``:
+        # NBUF-1 fetches started; the body starts one more per iteration,
+        # so steady state keeps NBUF-1 in flight plus the one being
+        # consumed. The slabs are small (PF*SLAB*4 bytes); per-DMA
+        # latency, not HBM bandwidth, bounds the stream, so depth
+        # matters more than size.
+        tot = runs_smem[buf, 0]
+        for j in range(NBUF - 1):
+            @pl.when(j < tot)
+            def _(j=j):
+                slab_dma(j, j % NBUF, buf).start()
+
+    @pl.when(t == 0)
+    def _first():
+        f = runs_fetch(0, 0)
+        f.start()
+        f.wait()
+        prefill(0)
+
+    # Overlap the NEXT tile's runs fetch with this tile's compute.
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        runs_fetch(t + 1, nxt).start()
+
+    total = runs_smem[cur, 0]
+
     @pl.when(total > 0)
     def _():
-        # Zero the accumulator only when the tile has work: empty tiles
-        # (live-query shortfall vs the cap) skip the [3, QTILE, SLAB]
-        # zero + reduce entirely and just write zeros below.
-        acc[:] = jnp.zeros_like(acc)
-        # Fill the pipeline: NBUF-1 slab fetches started here; the body
-        # starts one more per iteration, so steady state keeps NBUF-1 in
-        # flight plus the one being consumed. The slabs are small
-        # (PF*SLAB*4 bytes); per-DMA latency, not HBM bandwidth, bounds
-        # the stream, so depth matters more than size.
-        for j in range(NBUF - 1):
-            @pl.when(j < total)
-            def _(j=j):
-                slab_dma(j, j % NBUF).start()
+        def compute(k, slot):
+            return _dense_block(
+                scal_ref[0, 0], scal_ref[0, 1], q_ref[0], pbuf[slot],
+                max_path_length=max_path_length,
+                min_path_length=min_path_length, ppm=ppm,
+            )
+
+        # Peeled slab 0 WRITES the accumulator (bitwise 0+x == x up to
+        # zero signs), so no [3, QTILE, SLAB] zero pass is needed.
+        @pl.when(jnp.int32(NBUF - 1) < total)
+        def _():
+            slab_dma(NBUF - 1, NBUF - 1, cur).start()
+        slab_dma(0, 0, cur).wait()
+        r, g, b = compute(0, 0)
+        acc[0] = r
+        acc[1] = g
+        acc[2] = b
 
         def body(k, _):
             slot = jax.lax.rem(k, NBUF)
@@ -226,14 +267,10 @@ def _tile_kernel(
             @pl.when(k + (NBUF - 1) < total)
             def _():
                 slab_dma(k + (NBUF - 1),
-                         jax.lax.rem(k + (NBUF - 1), NBUF)).start()
+                         jax.lax.rem(k + (NBUF - 1), NBUF), cur).start()
 
-            slab_dma(k, slot).wait()
-            r, g, b = _dense_block(
-                scal_ref[0, 0], scal_ref[0, 1], q_ref[0], pbuf[slot],
-                max_path_length=max_path_length,
-                min_path_length=min_path_length, ppm=ppm,
-            )
+            slab_dma(k, slot, cur).wait()
+            r, g, b = compute(k, slot)
             # Accumulate full blocks; the cross-lane reduction happens
             # ONCE per tile below, not once per slab (the lane reduce was
             # the most expensive op in the slab loop).
@@ -242,7 +279,7 @@ def _tile_kernel(
             acc[2] += b
             return 0
 
-        jax.lax.fori_loop(0, total, body, 0)
+        jax.lax.fori_loop(1, total, body, 0)
 
     # Per-tile epilogue: reduce [3, QTILE, SLAB] -> [3, QTILE] lanes and
     # write channel-major. The channel-major output is the layout Mosaic
@@ -260,6 +297,14 @@ def _tile_kernel(
     @pl.when(total == 0)
     def _zero():
         out_ref[:] = jnp.zeros((8, QTILE), jnp.float32)
+
+    # Hand off to tile t+1: its runs fetch has been in flight since the
+    # top of this step; absorb it and start its slab pipeline so step
+    # t+1 begins with data already moving.
+    @pl.when(t + 1 < n_tiles)
+    def _handoff():
+        runs_fetch(t + 1, nxt).wait()
+        prefill(nxt)
 
 
 # ---------------------------------------------------------------------------
@@ -617,10 +662,10 @@ def run_tile_kernel(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n_tiles * QTILE), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((RUNCOLS,), jnp.int32),
+            pltpu.SMEM((2, RUNCOLS), jnp.int32),
             pltpu.VMEM((NBUF, PF, SLAB), jnp.float32),
             pltpu.VMEM((3, QTILE, SLAB), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         # Shape- AND caller-qualified name: the tunneled backend's
@@ -652,19 +697,28 @@ def merge_post(out, qtab, q_path, n_q, vm_normalization, n_paths: int):
     [n_tiles, QTILE, QF]."""
     # Tiles with no work write zeros, so no visited mask is needed; dead
     # query rows carry the position sentinel and can never pass the r^2
-    # test, so their lanes are zero too. ONE shared-index scatter covers
-    # all three channels (the per-channel scatters tripled the cost); in
-    # the fused production program XLA folds the tile-layout extract back
-    # to the planar rows it came from.
+    # test, so their lanes are zero too. Queries arrive CELL-sorted, so
+    # the path destinations are effectively random — the same sorted
+    # 3-wide scatter as io/framebuffer.py::splat_colors beats the direct
+    # shared-index column scatter (~13 -> ~10 ms at 786k rows): one
+    # (pdst, iota, r, g, b) stable sort, then an ascending-index [M, 3]
+    # row scatter. The iota tiebreak keeps the add order deterministic
+    # (it matches ascending query order within a path, the same order
+    # the unsorted scatter applied).
     query_cap = out.shape[1]
     qlive = jnp.arange(query_cap, dtype=jnp.int32) < n_q
-    pdst = jnp.where(qlive, q_path, n_paths)
+    pdst = jnp.where(qlive, q_path, n_paths).astype(jnp.uint32)
     thr = qtab[:, :, 29:32].transpose(2, 0, 1).reshape(3, query_cap)
     scaled = out[:3] * thr * vm_normalization
-    z = jnp.zeros((3, n_paths), jnp.float32).at[:, pdst].add(
-        scaled, mode="drop"
+    iota = jnp.arange(query_cap, dtype=jnp.int32)
+    sk, _si, sr, sg, sb = jax.lax.sort(
+        (pdst, iota, scaled[0], scaled[1], scaled[2]), num_keys=2
     )
-    return V3(z[0], z[1], z[2])
+    v3 = jnp.stack([sr, sg, sb], axis=1)            # [M, 3]
+    z = jnp.zeros((n_paths, 3), jnp.float32).at[sk.astype(jnp.int32)].add(
+        v3, mode="drop", indices_are_sorted=True
+    )
+    return V3(z[:, 0], z[:, 1], z[:, 2])
 
 
 def make_scal(radius_sqr, mis_vc_weight):
